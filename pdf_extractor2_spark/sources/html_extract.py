@@ -1,0 +1,230 @@
+"""HTML payload front-end: DOM → main text + spans + table grids.
+
+The graft obligation beyond the reference (SURVEY.md §2.9): the reference
+reads only PDFs; Common-Crawl-style rows carry ``html: binary``.  This
+module is a from-scratch boilerplate stripper in the Readability /
+trafilatura family (text-density + link-density heuristics — public
+knowledge), built on ``html.parser`` only so executors need no native deps.
+
+Pipeline per document:
+  1. parse into a flat list of text blocks, each tagged with its element
+     kind, ancestor chain, own-text length and link-text length;
+  2. drop boilerplate: blocks inside nav/footer/aside/header/form, blocks
+     with link density > 0.5, script/style/template content;
+  3. main text = title + kept headings/paragraphs/list items, one block
+     per line (deterministic, byte-stable);
+  4. spans = [{kind, start, end, text}] offsets into the main text;
+  5. every <table> (boilerplate or not) yields a rectangular grid for the
+     table classifiers (T1-T8) — the reference's lattice channel analogue.
+
+Everything here is called from inside the Arrow UDF batch loop
+(plans/extract_job.py); per corpus row it runs once over a byte payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from ..operators.grids import Grid, normalize_grid
+
+_BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li td th caption blockquote pre dt dd figcaption".split()
+)
+_BOILERPLATE_TAGS = frozenset("nav footer aside header form".split())
+_SKIP_TAGS = frozenset("script style template noscript svg".split())
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+_LINK_DENSITY_MAX = 0.5
+_MIN_BLOCK_CHARS = 3
+
+
+@dataclass
+class _Block:
+    kind: str  # title | heading | paragraph | table_field
+    text_parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    in_boilerplate: bool = False
+    in_table: bool = False
+
+    def text(self) -> str:
+        return _collapse(" ".join(self.text_parts))
+
+    def link_density(self) -> float:
+        total = sum(len(p) for p in self.text_parts)
+        return self.link_chars / total if total else 0.0
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+@dataclass
+class ExtractedPage:
+    title: str
+    main_text: str
+    spans: list[dict]
+    tables: list[Grid]
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self.tables: list[Grid] = []
+        self.title_parts: list[str] = []
+
+        self._stack: list[str] = []
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._in_title = False
+        self._current: _Block | None = None
+
+        # table assembly state: a stack to tolerate (rare) nested tables
+        self._table_stack: list[list[list[str]]] = []
+        self._row_stack: list[list[str]] = []
+        self._cell_depth = 0
+
+    # -- tag events ---------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._stack.append(tag)
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "title":
+            self._in_title = True
+        if tag == "table":
+            self._table_stack.append([])
+        if tag == "tr" and self._table_stack:
+            self._row_stack.append([])
+        if tag in ("td", "th") and self._row_stack:
+            self._cell_depth += 1
+
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            kind = "heading" if tag in _HEADING_TAGS else (
+                "table_field" if tag in ("td", "th") else "paragraph"
+            )
+            self._current = _Block(
+                kind=kind,
+                in_boilerplate=self._boiler_depth > 0,
+                in_table=bool(self._table_stack) and tag not in ("caption",),
+            )
+        elif tag == "br" and self._current is not None:
+            self._current.text_parts.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        # unwind the stack to the matching open tag (forgiving parser)
+        if tag in self._stack:
+            while self._stack and self._stack[-1] != tag:
+                self._stack.pop()
+            if self._stack:
+                self._stack.pop()
+
+        if tag in _SKIP_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        if tag in _BOILERPLATE_TAGS and self._boiler_depth:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag == "title":
+            self._in_title = False
+
+        if tag in ("td", "th") and self._cell_depth:
+            self._cell_depth -= 1
+            if self._current is not None and self._row_stack:
+                self._row_stack[-1].append(self._current.text())
+        if tag == "tr" and self._row_stack:
+            row = self._row_stack.pop()
+            if self._table_stack:
+                self._table_stack[-1].append(row)
+        if tag == "table" and self._table_stack:
+            rows = self._table_stack.pop()
+            if rows:
+                self.tables.append(normalize_grid(rows))
+
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if not data.strip():
+            return
+        if self._current is None:
+            # bare text outside any block element: treat as a paragraph
+            self._current = _Block(
+                kind="paragraph",
+                in_boilerplate=self._boiler_depth > 0,
+                in_table=bool(self._table_stack),
+            )
+        self._current.text_parts.append(data)
+        if self._link_depth:
+            self._current.link_chars += len(data)
+
+    # -- assembly -----------------------------------------------------------
+
+    def _flush(self) -> None:
+        if self._current is not None and self._current.text_parts:
+            self.blocks.append(self._current)
+        self._current = None
+
+
+def extract_html(payload: bytes | str) -> ExtractedPage:
+    """Parse one HTML payload into main text, spans and table grids."""
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", errors="replace")
+
+    parser = _Extractor()
+    try:
+        parser.feed(payload)
+        parser.close()
+    except Exception:
+        # malformed markup: keep whatever was assembled before the error
+        pass
+    parser._flush()
+
+    title = _collapse(" ".join(parser.title_parts))
+
+    pieces: list[str] = []
+    spans: list[dict] = []
+    offset = 0
+
+    def _emit(kind: str, text: str) -> None:
+        nonlocal offset
+        if not text:
+            return
+        spans.append({"kind": kind, "start": offset, "end": offset + len(text), "text": text})
+        pieces.append(text)
+        offset += len(text) + 1  # joined with '\n'
+
+    if title:
+        _emit("title", title)
+
+    for block in parser.blocks:
+        if block.in_boilerplate or block.in_table:
+            continue
+        text = block.text()
+        if len(text) < _MIN_BLOCK_CHARS:
+            continue
+        if block.link_density() > _LINK_DENSITY_MAX:
+            continue
+        _emit(block.kind, text)
+
+    # table cells appear as table_field spans (content only, not layout)
+    for grid in parser.tables:
+        for row in grid:
+            for cell in row:
+                if cell:
+                    _emit("table_field", cell)
+
+    main_text = "\n".join(pieces)
+    return ExtractedPage(title=title, main_text=main_text, spans=spans, tables=parser.tables)
