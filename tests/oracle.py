@@ -148,3 +148,37 @@ def run_reference(doc: OracleDocument) -> dict:
     ref = load_reference()
     set_document(doc)
     return ref.parse_pdf("<in-memory>")
+
+
+def run_reference_subprocess(
+    docs: list[OracleDocument], filenames: list[str], hashseed: str = "0"
+) -> list[dict]:
+    """Run the oracle in a child process under a pinned PYTHONHASHSEED —
+    needed when comparing against Spark executor output, whose workers
+    are pinned to the same seed (SURVEY.md §1.4)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    payload = [
+        {
+            "page_texts": d.page_texts,
+            "lattice": [list(t) for t in d.lattice],
+            "stream_by_config": {
+                str(k): [list(t) for t in v] for k, v in d.stream_by_config.items()
+            },
+            "filename": fn,
+        }
+        for d, fn in zip(docs, filenames)
+    ]
+    env = dict(os.environ, PYTHONHASHSEED=hashseed)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_cli.py")],
+        input=json.dumps(payload, ensure_ascii=False),
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(proc.stdout)

@@ -19,15 +19,16 @@ from pdf_extractor2_spark.sources.corpus import (
     render_payload,
 )
 
-from oracle import OracleDocument, run_reference
+from oracle import OracleDocument, run_reference_subprocess
 
 N_DOCS = 150
 SEED = 42
+PDF_SHARE = 0.2
 
 
 @pytest.fixture(scope="module")
 def results(spark):
-    pages = corpus_df(spark, N_DOCS, seed=SEED, pdf_share=0.0, num_partitions=6)
+    pages = corpus_df(spark, N_DOCS, seed=SEED, pdf_share=PDF_SHARE, num_partitions=6)
     df = run_extract(pages, num_buckets=8).cache()
     df.count()
     return df
@@ -40,45 +41,56 @@ def test_row_count_invariant(results):
 
 
 def test_failures_are_exactly_empty_payloads(results):
-    specs = [make_doc_spec(i, seed=SEED, pdf_share=0.0) for i in range(N_DOCS)]
+    specs = [make_doc_spec(i, seed=SEED, pdf_share=PDF_SHARE) for i in range(N_DOCS)]
     expect_fail = {s.url for s in specs if s.payload_kind == "none"}
     got_fail = {r["url"] for r in results.where(~F.col("success")).collect()}
     assert got_fail == expect_fail
     assert 0 < len(got_fail) < N_DOCS
 
 
+def test_both_payload_kinds_processed(results):
+    kinds = {
+        r["payload_kind"]
+        for r in results.where(F.col("success")).select("payload_kind").distinct().collect()
+    }
+    assert kinds == {"html", "pdf"}
+
+
 def test_raw_json_byte_identity_vs_oracle(results):
     """The north-rule invariant: per-url byte-identical raw_json between
-    the Spark kernel (executor side) and the reference pipeline run on
-    the identical front-end IR (driver side)."""
+    the Spark kernel (executor side, PYTHONHASHSEED=0 workers) and the
+    reference pipeline run on the identical front-end IR in a subprocess
+    pinned to the same seed."""
     got = {
         r["url"]: (r["raw_json"], r["main_text"])
         for r in results.where(F.col("success")).collect()
     }
-    checked = 0
+    docs, filenames, page_texts_by_url = [], [], {}
     for i in range(N_DOCS):
-        spec = make_doc_spec(i, seed=SEED, pdf_share=0.0)
+        spec = make_doc_spec(i, seed=SEED, pdf_share=PDF_SHARE)
         if spec.payload_kind == "none":
             continue
         payload = render_payload(spec)
         ir, spans, kind = payload_to_ir(payload)
-        expected = run_reference(
+        docs.append(
             OracleDocument(
                 page_texts=list(ir.page_texts),
                 lattice=[(t.grid, t.page, t.accuracy) for t in ir.lattice_tables],
-                stream_by_config={},
-                plumber_tables=[],
+                stream_by_config={
+                    j: [(t.grid, t.page, t.accuracy) for t in tables]
+                    for j, tables in enumerate(ir.stream_tables_by_config)
+                },
             )
         )
-        expected = dict(expected)
-        expected["metadata"] = {"filename": spec.url, "success": True}
-        expected_raw = json.dumps(expected, ensure_ascii=False)
+        filenames.append(spec.url)
+        page_texts_by_url[spec.url] = "\n\f\n".join(ir.page_texts)
 
-        raw_json, main_text = got[spec.url]
-        assert raw_json == expected_raw, spec.url
-        assert main_text == ir.page_texts[0], spec.url
-        checked += 1
-    assert checked > 50
+    expected = run_reference_subprocess(docs, filenames)
+    assert len(expected) > 50
+    for url, exp in zip(filenames, expected):
+        raw_json, main_text = got[url]
+        assert raw_json == exp["raw_json"], url
+        assert main_text == page_texts_by_url[url], url
 
 
 def test_extraction_yields_entities(results):
@@ -94,7 +106,7 @@ def test_extraction_yields_entities(results):
 def test_determinism_across_parallelism(spark, results):
     """Output is invariant under partitioning/bucket count — the
     two-cluster-size correctness precondition (FIXTURES.md §5.4)."""
-    pages2 = corpus_df(spark, N_DOCS, seed=SEED, pdf_share=0.0, num_partitions=2)
+    pages2 = corpus_df(spark, N_DOCS, seed=SEED, pdf_share=PDF_SHARE, num_partitions=2)
     again = run_extract(pages2, num_buckets=3)
     a = sorted(
         (r["url"], r["raw_json"]) for r in results.select("url", "raw_json").collect()
@@ -115,7 +127,7 @@ def test_resume(spark, tmp_path):
     final table is byte-identical to an uninterrupted run."""
     from pdf_extractor2_spark.plans.extract_job import run_resumable, with_bucket
 
-    pages = corpus_df(spark, 60, seed=7, pdf_share=0.0, num_partitions=4).cache()
+    pages = corpus_df(spark, 60, seed=7, pdf_share=0.2, num_partitions=4).cache()
     out = str(tmp_path / "results")
     metrics = str(tmp_path / "metrics")
 
