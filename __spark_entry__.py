@@ -1,38 +1,146 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline over pages
+synthesized from the sf0.001 documents table.  ``queries()`` exposes one
+entry per implemented operator family (SURVEY.md §2 + the training-data
+pipeline ops); ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL
+for every SQL-expressible query (same column names, same rounding, same
+arithmetic).  Non-SQL-expressible entries (the extraction kernel itself,
+multimodal decode plumbing) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_extractor2_spark.operators import dedup, multimodal, similarity, textstats
+from pdf_extractor2_spark.plans import relational
+from pdf_extractor2_spark.plans.extract_job import run_extract
+
+
+# ---------------------------------------------------------------------------
+# flagship: documents → pages(url, html) → extraction kernel → results
+# ---------------------------------------------------------------------------
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document's text into a minimal HTML payload so the real
+    pages schema (url, html binary) drives the extraction kernel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("https://corpus.local/doc/"), F.col("doc_id")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<!DOCTYPE html><html><head><title>doc "),
+                F.col("doc_id"),
+                F.lit("</title></head><body><article><p>"),
+                F.col("text"),
+                F.lit("</p></article></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
+def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full extraction kernel over synthesized pages."""
+    results = run_extract(_pages_from_documents(spark, sf_dir), num_buckets=32)
+    return results.select(
+        "url", "success", "payload_kind", "n_contacts", "n_projects",
+        "n_tenders", "n_tables", "methods",
+    )
+
+
+def extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked extraction invariant: for single-paragraph HTML pages
+    the extracted main text is title + '\\n' + body text — expressible in
+    SQL, so DuckDB can verify the kernel's text path end-to-end."""
+    results = run_extract(_pages_from_documents(spark, sf_dir), num_buckets=32)
+    return results.select("url", "main_text", "success")
+
+
+def extract_text_roundtrip_sql() -> str:
+    return """
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS main_text,
+               TRUE AS success
+        FROM documents
+    """
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: binary-column decode-stub feature extraction."""
+    return multimodal.media_features(_pages_from_documents(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return extract_pipeline(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# operator inventory
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (flagship + oracle-checked text path)
+        "extract_pipeline": extract_pipeline,
+        "extract_text_roundtrip": extract_text_roundtrip,
+        "multimodal_features": multimodal_features,
+        # relational core (SURVEY.md §2.5-§2.8 corpus-level analogues)
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "parts_by_brand": relational.parts_by_brand,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "sessionize_events": relational.sessionize_events,
+        "top_orders": relational.top_orders,
+        "events_user_activity": relational.events_user_activity,
+        "events_json_stats": relational.events_json_stats,
+        # text analysis
+        "token_stats": textstats.token_stats,
+        "quality_scores": textstats.quality_scores,
+        "doc_fingerprints": textstats.fingerprints,
+        "lang_id": textstats.lang_id,
+        "top_tokens": textstats.top_tokens,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup_summary,
+        "dedup_jaccard_pairs": dedup.jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        # similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "embedding_label_norms": similarity.label_centroid_norms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text_roundtrip": extract_text_roundtrip_sql(),
+        "pricing_summary": relational.pricing_summary_sql(),
+        "revenue_by_nation": relational.revenue_by_nation_sql(),
+        "parts_by_brand": relational.parts_by_brand_sql(),
+        "top_orders_per_customer": relational.top_orders_per_customer_sql(),
+        "sessionize_events": relational.sessionize_events_sql(),
+        "top_orders": relational.top_orders_sql(),
+        "events_user_activity": relational.events_user_activity_sql(),
+        "events_json_stats": relational.events_json_stats_sql(),
+        "token_stats": textstats.token_stats_sql(),
+        "quality_scores": textstats.quality_scores_sql(),
+        "doc_fingerprints": textstats.fingerprints_sql(),
+        "lang_id": textstats.lang_id_sql(),
+        "top_tokens": textstats.top_tokens_sql(),
+        "dedup_exact": dedup.exact_dedup_summary_sql(),
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
+        "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
+        "embedding_label_norms": similarity.label_centroid_norms_sql(),
+    }

@@ -1,0 +1,259 @@
+"""Deduplication operators over the ``documents`` table — exact and
+near-duplicate detection as a large-scale training-data pipeline needs.
+
+Every operator is expressed with Catalyst-native relational algebra
+(explode → inverted-index equi-join → hash aggregate); there is no
+cross product anywhere, so the shapes scale:
+
+  * exact:   hash-groupBy on md5(text) — one shuffle on the digest;
+  * jaccard: token-shingle inverted index; pairs emerge only from shared
+    shingles (candidate set ∝ collisions, not n²);
+  * minhash: 16 deterministic permutation mins per doc, banded 4×4 —
+    LSH candidate pairs join on (band, key);
+  * simhash: 16-bit sign-aggregated projection, grouped by signature.
+
+Determinism note: the shingle dictionary is assigned by row_number over
+the *sorted* distinct shingles so the DuckDB oracle reproduces ids
+exactly.  At 10^12-document scale the global sort is the one
+non-scalable piece — swap ``_with_shingle_ids`` for ``xxhash64(shingle)``
+(no dictionary at all) when oracle parity is not required; the rest of
+the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+P31 = 2_147_483_647
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+# deterministic permutation constants, shared verbatim with the oracle SQL
+HASH_A = [(1103515245 * (i + 1)) % P31 for i in range(N_HASHES)]
+HASH_B = [(12345 * (i + 1) + 711) % P31 for i in range(N_HASHES)]
+
+_SHINGLE_EXPR = (
+    "case when size(split(text, ' ')) < 3 then array()"
+    " else array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
+    " i -> concat_ws(' ', element_at(split(text, ' '), i + 1),"
+    " element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3)))) end"
+)
+
+_SHINGLE_SQL = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    " for i in generate_series(1, len(t) - 2)])"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: one hash aggregate on md5(text)."""
+    groups = (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .agg(F.count("*").alias("n"))
+    )
+    return groups.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_distinct_texts"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dup_docs"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct 3-gram shingles."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join —
+    the standard scalable set-similarity join (no cross product)."""
+    ex = _shingled(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _with_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sid): dense shingle ids from the sorted distinct vocabulary."""
+    ex = _shingled(spark, sf_dir)
+    vocab = (
+        ex.select("shingle").distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
+    )
+    return ex.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 permutation-min hashes per document."""
+    ids = _with_shingle_ids(spark, sf_dir)
+    mins = [
+        F.min((F.lit(HASH_A[i]) * F.col("sid") + F.lit(HASH_B[i])) % F.lit(P31))
+        .cast("long").alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return ids.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 of 4 bands (4 rows each).
+    Output: (doc_a, doc_b, n_bands) — n_bands many ⇒ likely near-dup."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for j in range(N_BANDS):
+        cols = [f"m{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(j).alias("band"),
+                F.md5(F.concat_ws("-", *cols).cast("binary")).alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over shingle ids: per bit, sign of Σ(±1)."""
+    ids = _with_shingle_ids(spark, sf_dir).withColumn(
+        "h", (F.lit(HASH_A[0]) * F.col("sid") + F.lit(HASH_B[0])) % F.lit(P31)
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), k) % 2 * 2 - 1).alias(f"s{k}")
+        for k in range(16)
+    ]
+    per_doc = ids.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for k in range(16):
+        term = F.when(F.col(f"s{k}") >= 0, F.lit(2**k)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle texts (constants inlined so both engines share arithmetic)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_summary_sql(table: str = "documents") -> str:
+    return f"""
+        WITH g AS (SELECT md5(text) AS digest, COUNT(*) AS n FROM {table} GROUP BY 1)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_distinct_texts,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        FROM g
+    """
+
+
+def _shingled_sql(table: str) -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+        ex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM toks)
+    """
+
+
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+        {_shingled_sql(table)},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
+    """
+
+
+def _ids_sql(table: str) -> str:
+    return f"""
+        {_shingled_sql(table)},
+        vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+                  FROM (SELECT DISTINCT shingle FROM ex)),
+        ids AS (SELECT doc_id, sid FROM ex JOIN vocab USING (shingle))
+    """
+
+
+def minhash_lsh_pairs_sql(table: str = "documents") -> str:
+    mins = ",\n".join(
+        f"MIN(({HASH_A[i]} * sid + {HASH_B[i]}) % {P31}) AS m{i}"
+        for i in range(N_HASHES)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {j} AS band, md5({cols}) AS key FROM sig".format(
+            j=j,
+            cols=" || '-' || ".join(
+                f"CAST(m{j * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for j in range(N_BANDS)
+    )
+    return f"""
+        {_ids_sql(table)},
+        sig AS (SELECT doc_id, {mins} FROM ids GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def simhash_sql(table: str = "documents") -> str:
+    sums = ",\n".join(
+        f"SUM(((h >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(16)
+    )
+    sig = " + ".join(f"CASE WHEN s{k} >= 0 THEN {2**k} ELSE 0 END" for k in range(16))
+    return f"""
+        {_ids_sql(table)},
+        hs AS (SELECT doc_id, ({HASH_A[0]} * sid + {HASH_B[0]}) % {P31} AS h FROM ids),
+        bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """

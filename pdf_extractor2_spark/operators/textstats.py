@@ -1,0 +1,150 @@
+"""Text-analysis operators over the ``documents`` table — the corpus-level
+pipeline ops a training-data pipeline needs (token counting, quality
+scoring, fingerprinting, language-ID).
+
+All are pure Spark-SQL expressions (JVM-side, whole-stage codegen; zero
+Python in the hot path) with exact DuckDB-oracle equivalents in
+``__spark_entry__.oracle_sql``.  Arithmetic is written to be
+engine-agnostic: integer folds, explicit casts, fixed rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MOD = 1_000_000_007
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace tokenization)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as long)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(split(text, ' '))) as long)").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr("cast(length(text) as long)").alias("n_chars_actual"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio + mean token length +
+    char-per-token density (length/punct/stopword family, SURVEY scope)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "round(cast(size(filter(split(text, ' '), t -> t in ('the', 'a'))) as double)"
+            " / size(split(text, ' ')), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "round(cast(aggregate(transform(split(text, ' '), t -> length(t)),"
+            " 0L, (acc, x) -> acc + x) as double) / size(split(text, ' ')), 6)"
+        ).alias("mean_token_len"),
+        F.expr(
+            "case when length(text) >= 200 and size(split(text, ' ')) >= 40"
+            " then 'keep' else 'drop' end"
+        ).alias("quality_bucket"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash document fingerprint:
+    fold (acc*31 + ascii(char)) mod 1e9+7 over the full text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(split(text, ''), c -> ascii(c)),"
+            f" 0L, (acc, c) -> (acc * 31 + c) % {MOD})"
+        ).alias("fingerprint"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language heuristic: score English function words
+    vs corpus-neutral tokens; emits predicted vs labelled language."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "case when size(filter(split(text, ' '), t -> t in ('the', 'a', 'of')))"
+            " * 10 >= size(split(text, ' ')) then 'en' else 'und' end"
+        ).alias("pred_lang"),
+    )
+
+
+def top_tokens(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """Corpus token frequencies: explode → hash aggregate → top-k
+    (deterministic tie-break on the token)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.expr("split(text, ' ')")).alias("token"))
+        .where(F.length("token") > 1)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM {table}
+    """
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id, lang,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                                  t -> length(t))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS mean_token_len,
+               CASE WHEN length(text) >= 200 AND len(string_split(text, ' ')) >= 40
+                    THEN 'keep' ELSE 'drop' END AS quality_bucket
+        FROM {table}
+    """
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(substr(text, i, 1)) AS BIGINT)
+                    for i in generate_series(1, length(text))]),
+                 (acc, c) -> (acc * 31 + c) % {MOD}) AS fingerprint
+        FROM {table}
+    """
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t IN ('the', 'a', 'of'))) * 10
+                         >= len(string_split(text, ' '))
+                    THEN 'en' ELSE 'und' END AS pred_lang
+        FROM {table}
+    """
+
+
+def top_tokens_sql(table: str = "documents", k: int = 30) -> str:
+    return f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM {table})
+        WHERE length(token) > 1
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT {k}
+    """

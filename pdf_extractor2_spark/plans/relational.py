@@ -1,0 +1,239 @@
+"""Corpus-level relational operators over the TPC-H-ish test tables —
+the Spark-native analogues of the reference's aggregation/dedup/limit
+machinery (SURVEY.md §2.4-§2.7 map each to its reference counterpart).
+
+Every query is Catalyst-native (scan → pushed filter → hash aggregate /
+broadcast join / window), returns deterministic output (explicit
+tie-breaks, fixed rounding, explicit casts) and has a DuckDB oracle text
+alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- A3 analogue: the batch summary aggregate --------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: partial+final hash aggregation."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(SUM(l_quantity), 2) AS sum_qty,
+               round(SUM(l_extendedprice), 2) AS sum_base_price,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+# -- joins: broadcast dims, multi-way ----------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation ⋈ region with broadcast dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+        SELECT r_name, n_name, COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushed to the dimension, broadcast equi-join, aggregate."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+def parts_by_brand_sql() -> str:
+    return """
+        SELECT p_brand, COUNT(*) AS n_items, round(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand
+    """
+
+
+# -- windows ------------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+def top_orders_per_customer_sql(k: int = 3) -> str:
+    return f"""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= {k}
+    """
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Session assignment by inactivity gap — the corpus-scale rewrite of
+    the reference's stateful multi-row merge (T4, SURVEY.md §2.8):
+    is_new = gap > threshold; session = running sum of is_new."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = _t(spark, sf_dir, "events")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session tz is pinned
+    # to UTC so ntz→timestamp→double equals DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    with_flag = events.withColumn(
+        "is_new",
+        (epoch - F.lag(epoch).over(w) > F.lit(float(gap_s))).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce(F.col("is_new"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_flag.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def sessionize_events_sql(gap_s: int = 1800) -> str:
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {gap_s}.0
+                      THEN 1
+                      WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+                      ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id
+    """
+
+
+# -- sort / limit / distinct / semi-structured --------------------------------
+
+def top_orders(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def top_orders_sql(k: int = 20) -> str:
+    return f"""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {k}
+    """
+
+
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (dedup analogue D1-D4 at corpus scale)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def events_user_activity_sql() -> str:
+    return """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field extraction + aggregate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def events_json_stats_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """
