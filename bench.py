@@ -1,0 +1,202 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): times the headline
+extraction pipeline over a deterministic synthetic pages corpus plus the
+generic operator queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "extraction": {...}}
+
+Scaling mode (``--scaling``): runs the *identical* extraction job at two
+parallelism levels (local[8] vs local[32]) in separate JVMs — the
+sandbox stand-in for the N vs 4N executor criterion (BASELINE.md) — and
+prints throughput at both plus the scaling efficiency.
+
+Methodology:
+  * the corpus is generated once (distributed) and cached as parquet in
+    /tmp keyed by (n, seed), so the timed section measures extraction,
+    not data generation;
+  * one small warmup job spawns the Python workers and compiles the
+    plan before the timed run (steady-state throughput, matching a
+    long-running cluster job);
+  * the extraction action is forced with an aggregate over raw_json
+    lengths — every kernel output byte is materialized, nothing is
+    collected to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "800000"))
+CACHE_ROOT = "/tmp/pex2_bench_cache"
+
+GENERIC_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "parts_by_brand",
+    "top_orders_per_customer",
+    "sessionize_events",
+    "token_stats",
+    "doc_fingerprints",
+    "top_tokens",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "simhash",
+    "ann_cosine_topk",
+]
+
+
+def _corpus_path(n: int, seed: int) -> str:
+    return f"{CACHE_ROOT}/pages_n{n}_s{seed}.parquet"
+
+
+def ensure_corpus(spark, n: int, seed: int = 42) -> str:
+    path = _corpus_path(n, seed)
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from pdf_extractor2_spark.sources.corpus import corpus_df
+
+        parts = max(32, n // 8000)
+        (
+            corpus_df(spark, n, seed=seed, pdf_share=0.2, num_partitions=parts)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+    return path
+
+
+def run_extraction_bench(spark, n_docs: int, num_buckets: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pdf_extractor2_spark.plans.extract_job import run_extract
+
+    path = ensure_corpus(spark, n_docs)
+    pages = spark.read.parquet(path)
+
+    # warmup: spawn python workers, JIT the plan, prime the page cache
+    run_extract(pages.limit(512), num_buckets=8).agg(
+        F.count("*")
+    ).collect()
+
+    t0 = time.perf_counter()
+    agg = (
+        run_extract(pages, num_buckets=num_buckets)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("success").cast("long")).alias("ok"),
+            F.sum(F.length("raw_json")).alias("bytes_out"),
+            F.sum("n_contacts").alias("contacts"),
+        )
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    assert agg["n"] == n_docs, (agg["n"], n_docs)
+    return {
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_success": agg["ok"],
+        "raw_json_bytes": int(agg["bytes_out"] or 0),
+        "sum_contacts": int(agg["contacts"] or 0),
+    }
+
+
+def run_generic_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as em
+
+    timings: dict[str, float] = {}
+    queries = em.queries()
+    for name in GENERIC_QUERIES:
+        fn = queries[name]
+        fn(spark, sf_dir).count()  # warm (plan compile + IO cache)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main_single(cores: int, sf_dir: str, n_docs: int, extract_only: bool) -> dict:
+    from pdf_extractor2_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pex2-bench-{cores}", cores=cores,
+        shuffle_partitions=max(cores, 16),
+    )
+    extraction = run_extraction_bench(spark, n_docs, num_buckets=max(cores * 2, 16))
+    queries = {} if extract_only else run_generic_queries(spark, sf_dir)
+    queries["extract_pipeline"] = extraction["wall_sec"]
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline suite wall time (extraction + generic operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cores": cores,
+        "extraction": extraction,
+    }
+
+
+def main_scaling(n_docs: int) -> dict:
+    """Identical job, two parallelism levels, separate JVMs."""
+    results = {}
+    for cores in (8, 32):
+        env = dict(
+            os.environ,
+            PYTHONHASHSEED="0",
+            SPARK_GRAFT_BENCH_DOCS=str(n_docs),
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores),
+             "--extract-only", "--docs", str(n_docs)],
+            capture_output=True, text=True, env=env, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8 = results[8]["extraction"]["docs_per_sec"]
+    tp32 = results[32]["extraction"]["docs_per_sec"]
+    eff = round((tp32 / tp8) / 4.0, 3)
+    return {
+        "metric": "scaling efficiency local[8] -> local[32] (N -> 4N)",
+        "value": eff,
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "docs_per_sec_8": tp8,
+        "docs_per_sec_32": tp32,
+        "wall_sec_8": results[8]["extraction"]["wall_sec"],
+        "wall_sec_32": results[32]["extraction"]["wall_sec"],
+        "gate": "efficiency >= 0.8",
+        "pass": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--docs", type=int, default=BENCH_DOCS)
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("PYTHONHASHSEED", "0")
+    if args.scaling:
+        out = main_scaling(args.docs if args.docs != BENCH_DOCS else SCALING_DOCS)
+    else:
+        out = main_single(args.cores, args.sf_dir, args.docs, args.extract_only)
+    print(json.dumps(out))

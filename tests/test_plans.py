@@ -1,0 +1,93 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+at 100 TB must actually appear in the plans — column pruning reaching
+the parquet scan, broadcast joins for dimensions, no stray shuffles in
+the extraction pipeline, pushed filters."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir(spark, tmp_path_factory):
+    # a small real parquet pages table so scans have a file source
+    from pdf_extractor2_spark.sources.corpus import corpus_df
+
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    corpus_df(spark, 50, seed=3, pdf_share=0.0, num_partitions=2).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extraction_scan_is_column_pruned(spark, sf_dir):
+    """The pages scan must read only (url, html) — never warc_ts/lang/text
+    (BinaryType html dominates IO; the rest would be pure waste)."""
+    from pdf_extractor2_spark.plans.extract_job import run_extract
+
+    pages = spark.read.parquet(sf_dir)
+    plan = _plan(run_extract(pages, num_buckets=4))
+    scan = next(s for s in plan.split("\n\n") if "ReadSchema" in s)
+    assert "url" in scan and "html" in scan
+    assert "warc_ts" not in scan and "lang" not in scan, scan
+
+
+def test_extraction_has_single_exchange(spark, sf_dir):
+    """Exactly one shuffle (the deterministic bucket repartition); with
+    repartition=False the pipeline must be shuffle-free."""
+    from pdf_extractor2_spark.plans.extract_job import run_extract
+
+    pages = spark.read.parquet(sf_dir)
+    import re
+
+    plan = _plan(run_extract(pages, num_buckets=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    plan_free = _plan(run_extract(pages, num_buckets=4, repartition=False))
+    assert len(re.findall(r"\(\d+\) Exchange", plan_free)) == 0, plan_free
+
+
+def test_dimension_joins_are_broadcast(spark):
+    from pdf_extractor2_spark.plans.relational import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # nation & region must be on the broadcast side (two broadcast joins)
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_part_filter_is_pushed(spark):
+    from pdf_extractor2_spark.plans.relational import parts_by_brand
+
+    plan = _plan(parts_by_brand(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan and "p_size" in plan, plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine: partial_ aggregate functions before the exchange."""
+    from pdf_extractor2_spark.plans.relational import pricing_summary
+
+    plan = _plan(pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan or "HashAggregate" in plan
+    scan = next(s for s in plan.split("\n\n") if "ReadSchema" in s)
+    # column pruning: only the 4 needed lineitem columns in the read schema
+    assert "l_shipdate" not in scan, scan
+
+
+def test_whole_stage_codegen_active(spark):
+    from pdf_extractor2_spark.plans.relational import pricing_summary
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pricing_summary(spark, "/root/testdata/sf0.001").explain("codegen")
+    # the aggregate pipeline must be inside whole-stage-codegen subtrees
+    assert "WholeStageCodegen" in buf.getvalue()
