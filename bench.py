@@ -131,13 +131,22 @@ def run_generic_queries(spark, sf_dir: str) -> dict:
 
 
 def main_single(cores: int, sf_dir: str, n_docs: int, extract_only: bool) -> dict:
+    # honest N-vs-4N evidence: bound this process (JVM + python workers
+    # inherit the mask) to exactly `cores` physical CPUs, modelling an
+    # N-core cluster — otherwise a local[8] JVM's task threads plus its
+    # 8 python workers spread over ~16 cores of the 32-core host and
+    # inflate the small-cluster baseline
+    if os.environ.get("PEX2_CPU_AFFINITY") == "1":
+        os.sched_setaffinity(0, set(range(cores)))
+
     from pdf_extractor2_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"pex2-bench-{cores}", cores=cores,
         shuffle_partitions=max(cores, 16),
     )
-    extraction = run_extraction_bench(spark, n_docs, num_buckets=max(cores * 2, 16))
+    # 4 buckets per core: bounds tail skew (PDF docs cost ~1.6x HTML docs)
+    extraction = run_extraction_bench(spark, n_docs, num_buckets=max(cores * 4, 32))
     queries = {} if extract_only else run_generic_queries(spark, sf_dir)
     queries["extract_pipeline"] = extraction["wall_sec"]
     total = round(sum(queries.values()), 3)
@@ -160,6 +169,7 @@ def main_scaling(n_docs: int) -> dict:
             os.environ,
             PYTHONHASHSEED="0",
             SPARK_GRAFT_BENCH_DOCS=str(n_docs),
+            PEX2_CPU_AFFINITY="1",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cores", str(cores),

@@ -12,25 +12,37 @@ cross product anywhere, so the shapes scale:
     LSH candidate pairs join on (band, key);
   * simhash: 16-bit sign-aggregated projection, grouped by signature.
 
-Determinism note: the shingle dictionary is assigned by row_number over
-the *sorted* distinct shingles so the DuckDB oracle reproduces ids
-exactly.  At 10^12-document scale the global sort is the one
-non-scalable piece — swap ``_with_shingle_ids`` for ``xxhash64(shingle)``
-(no dictionary at all) when oracle parity is not required; the rest of
-the plan is unchanged.
+Determinism note: shingle ids are NOT a dictionary (a global sort/
+row_number would serialize on one task at scale).  Each shingle hashes
+inline to a 56-bit rolling hash — pure arithmetic both engines compute
+identically (fold (acc*127 + ascii(c)) mod 2^56-5), so plans stay fully
+parallel and the DuckDB oracle reproduces ids exactly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 P31 = 2_147_483_647
+P56 = 72_057_594_037_927_931  # 2^56 - 5: rolling-hash modulus (acc*127+255 stays < 2^63)
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 # deterministic permutation constants, shared verbatim with the oracle SQL
 HASH_A = [(1103515245 * (i + 1)) % P31 for i in range(N_HASHES)]
 HASH_B = [(12345 * (i + 1) + 711) % P31 for i in range(N_HASHES)]
+
+# inline 56-bit shingle hash — identical fold in Spark SQL and DuckDB
+_SID_EXPR = (
+    "aggregate(transform(split(shingle, ''), c -> ascii(c)),"
+    f" 0L, (acc, c) -> (acc * 127 + c) % {P56})"
+)
+_SID_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " [CAST(ascii(substr(shingle, i, 1)) AS BIGINT)"
+    " for i in generate_series(1, length(shingle))]),"
+    f" (acc, c) -> (acc * 127 + c) % {P56})"
+)
 
 _SHINGLE_EXPR = (
     "case when size(split(text, ' ')) < 3 then array()"
@@ -76,14 +88,15 @@ def jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join —
-    the standard scalable set-similarity join (no cross product)."""
-    ex = _shingled(spark, sf_dir)
+    the standard scalable set-similarity join (no cross product); the
+    join key is the 8-byte shingle hash, not the string."""
+    ex = _with_shingle_ids(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sid") == F.col("b.sid"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -103,20 +116,18 @@ def jaccard_pairs(
 
 
 def _with_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sid): dense shingle ids from the sorted distinct vocabulary."""
-    ex = _shingled(spark, sf_dir)
-    vocab = (
-        ex.select("shingle").distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
-    )
-    return ex.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
+    """(doc_id, sid): inline 56-bit deterministic shingle hash — no
+    vocabulary, no global sort, no join; the plan is explode → project."""
+    return _shingled(spark, sf_dir).select("doc_id", F.expr(_SID_EXPR).alias("sid"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 permutation-min hashes per document."""
-    ids = _with_shingle_ids(spark, sf_dir)
+    # reduce the 56-bit sid into the 31-bit permutation field first so
+    # a_i * sid never overflows int64
+    ids = _with_shingle_ids(spark, sf_dir).withColumn("s31", F.col("sid") % F.lit(P31))
     mins = [
-        F.min((F.lit(HASH_A[i]) * F.col("sid") + F.lit(HASH_B[i])) % F.lit(P31))
+        F.min((F.lit(HASH_A[i]) * F.col("s31") + F.lit(HASH_B[i])) % F.lit(P31))
         .cast("long").alias(f"m{i}")
         for i in range(N_HASHES)
     ]
@@ -158,7 +169,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over shingle ids: per bit, sign of Σ(±1)."""
     ids = _with_shingle_ids(spark, sf_dir).withColumn(
-        "h", (F.lit(HASH_A[0]) * F.col("sid") + F.lit(HASH_B[0])) % F.lit(P31)
+        "h", (F.lit(HASH_A[0]) * (F.col("sid") % F.lit(P31)) + F.lit(HASH_B[0])) % F.lit(P31)
     )
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), k) % 2 * 2 - 1).alias(f"s{k}")
@@ -196,11 +207,11 @@ def _shingled_sql(table: str) -> str:
 
 def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
     return f"""
-        {_shingled_sql(table)},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+        {_ids_sql(table)},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM ids a JOIN ids b ON a.sid = b.sid AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
@@ -214,15 +225,13 @@ def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
 def _ids_sql(table: str) -> str:
     return f"""
         {_shingled_sql(table)},
-        vocab AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-                  FROM (SELECT DISTINCT shingle FROM ex)),
-        ids AS (SELECT doc_id, sid FROM ex JOIN vocab USING (shingle))
+        ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM ex)
     """
 
 
 def minhash_lsh_pairs_sql(table: str = "documents") -> str:
     mins = ",\n".join(
-        f"MIN(({HASH_A[i]} * sid + {HASH_B[i]}) % {P31}) AS m{i}"
+        f"MIN(({HASH_A[i]} * (sid % {P31}) + {HASH_B[i]}) % {P31}) AS m{i}"
         for i in range(N_HASHES)
     )
     band_selects = "\nUNION ALL\n".join(
@@ -253,7 +262,7 @@ def simhash_sql(table: str = "documents") -> str:
     sig = " + ".join(f"CASE WHEN s{k} >= 0 THEN {2**k} ELSE 0 END" for k in range(16))
     return f"""
         {_ids_sql(table)},
-        hs AS (SELECT doc_id, ({HASH_A[0]} * sid + {HASH_B[0]}) % {P31} AS h FROM ids),
+        hs AS (SELECT doc_id, ({HASH_A[0]} * (sid % {P31}) + {HASH_B[0]}) % {P31} AS h FROM ids),
         bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
     """
