@@ -161,10 +161,13 @@ def main_single(cores: int, sf_dir: str, n_docs: int, extract_only: bool) -> dic
     }
 
 
-def main_scaling(n_docs: int) -> dict:
-    """Identical job, two parallelism levels, separate JVMs."""
+def main_scaling(n_docs: int, pair: tuple[int, int] = (8, 32)) -> dict:
+    """Identical job, two parallelism levels (N and 4N cores), separate
+    JVMs, each pinned to its CPU set."""
+    lo, hi = pair
+    assert hi == 4 * lo, "the gate is defined for N -> 4N"
     results = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         env = dict(
             os.environ,
             PYTHONHASHSEED="0",
@@ -178,18 +181,18 @@ def main_scaling(n_docs: int) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
-    tp8 = results[8]["extraction"]["docs_per_sec"]
-    tp32 = results[32]["extraction"]["docs_per_sec"]
-    eff = round((tp32 / tp8) / 4.0, 3)
+    tp_lo = results[lo]["extraction"]["docs_per_sec"]
+    tp_hi = results[hi]["extraction"]["docs_per_sec"]
+    eff = round((tp_hi / tp_lo) / 4.0, 3)
     return {
-        "metric": "scaling efficiency local[8] -> local[32] (N -> 4N)",
+        "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N -> 4N)",
         "value": eff,
         "unit": "ratio",
         "n_docs": n_docs,
-        "docs_per_sec_8": tp8,
-        "docs_per_sec_32": tp32,
-        "wall_sec_8": results[8]["extraction"]["wall_sec"],
-        "wall_sec_32": results[32]["extraction"]["wall_sec"],
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        f"wall_sec_{lo}": results[lo]["extraction"]["wall_sec"],
+        f"wall_sec_{hi}": results[hi]["extraction"]["wall_sec"],
         "gate": "efficiency >= 0.8",
         "pass": eff >= 0.8,
     }
@@ -202,11 +205,16 @@ if __name__ == "__main__":
     ap.add_argument("--docs", type=int, default=BENCH_DOCS)
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-n", type=int, default=8,
+                    help="N for the N -> 4N scaling pair")
     args = ap.parse_args()
 
     os.environ.setdefault("PYTHONHASHSEED", "0")
     if args.scaling:
-        out = main_scaling(args.docs if args.docs != BENCH_DOCS else SCALING_DOCS)
+        out = main_scaling(
+            args.docs if args.docs != BENCH_DOCS else SCALING_DOCS,
+            pair=(args.scale_n, args.scale_n * 4),
+        )
     else:
         out = main_single(args.cores, args.sf_dir, args.docs, args.extract_only)
     print(json.dumps(out))

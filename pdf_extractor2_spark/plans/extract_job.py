@@ -249,3 +249,74 @@ def run_resumable(
 
     done = spark.read.parquet(output_path)
     metrics_rollup(done, run_id).write.mode("append").parquet(metrics_path)
+
+
+def run_resumable_by_file(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    metrics_path: str,
+    run_id: str,
+) -> None:
+    """Shuffle-free resumable job: lineage is keyed by *input file*.
+
+    The unit of work is one input parquet file (an Iceberg data file in
+    production, where the file list comes from snapshot metadata): the
+    restart set is a set-difference on file names — pure metadata, and
+    the extraction plan is scan → mapInPandas with NO shuffle at all.
+    This is the preferred production shape; the bucket-shuffle variant
+    (run_resumable) remains for url-hash-keyed lineage.
+
+    Idempotence: results are written under ``bucket=<file_id>/``
+    partitions (dynamic overwrite), so re-running a half-finished file
+    replaces only that file's partition.
+    """
+    import posixpath
+
+    all_files = sorted(
+        r["file"]
+        for r in spark.read.parquet(input_path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    )
+    file_ids = {posixpath.basename(p): i for i, p in enumerate(all_files)}
+
+    completed: set[str] = set()
+    try:
+        prior = spark.read.parquet(metrics_path).where(F.col("run_id") == run_id)
+        completed = {r["file_name"] for r in prior.select("file_name").collect()}
+    except Exception:
+        pass
+
+    pending = [p for p in all_files if posixpath.basename(p) not in completed]
+    if not pending:
+        return
+
+    # one job over all pending files; file identity travels as a column
+    mapping = F.create_map(
+        *[x for name, fid in file_ids.items() for x in (F.lit(name), F.lit(fid))]
+    )
+    pages = (
+        spark.read.parquet(*pending)
+        .select("url", "html")
+        .withColumn(
+            "bucket",
+            mapping[F.element_at(F.split(F.input_file_name(), "/"), -1)].cast("int"),
+        )
+    )
+    results = pages.mapInPandas(extraction_kernel, RESULT_SCHEMA)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    results.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+    id_to_name = {fid: name for name, fid in file_ids.items()}
+    done = spark.read.parquet(output_path).where(
+        F.col("bucket").isin([file_ids[posixpath.basename(p)] for p in pending])
+    )
+    name_map = F.create_map(
+        *[x for fid, name in id_to_name.items() for x in (F.lit(fid), F.lit(name))]
+    )
+    metrics_rollup(done, run_id).withColumn(
+        "file_name", name_map[F.col("bucket")]
+    ).write.mode("append").parquet(metrics_path)
