@@ -90,7 +90,7 @@ def jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via inverted-index join —
     the standard scalable set-similarity join (no cross product); the
     join key is the 8-byte shingle hash, not the string."""
-    ex = _with_shingle_ids(spark, sf_dir)
+    ex = _with_shingle_ids(spark, sf_dir, persist=True)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = ex.alias("a")
@@ -115,10 +115,16 @@ def jaccard_pairs(
     )
 
 
-def _with_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_shingle_ids(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
     """(doc_id, sid): inline 56-bit deterministic shingle hash — no
-    vocabulary, no global sort, no join; the plan is explode → project."""
-    return _shingled(spark, sf_dir).select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+    vocabulary, no global sort, no join; the plan is explode → project.
+
+    ``persist=True`` materializes the relation once when a consumer
+    references it from multiple join branches (Catalyst does not CSE
+    identical subtrees across self-joins, so without it the tokenize +
+    fold would run once per branch)."""
+    ids = _shingled(spark, sf_dir).select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+    return ids.persist() if persist else ids
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
