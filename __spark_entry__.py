@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
+        "bpe_token_stats": textstats.bpe_token_stats,
         "doc_fingerprints": textstats.fingerprints,
         "lang_id": textstats.lang_id,
         "top_tokens": textstats.top_tokens,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_label_norms": similarity.label_centroid_norms,
+        "dedup_embedding_cosine": similarity.embedding_near_dup_pairs,
     }
 
 
@@ -133,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": relational.events_json_stats_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
+        "bpe_token_stats": textstats.bpe_token_stats_sql(),
         "doc_fingerprints": textstats.fingerprints_sql(),
         "lang_id": textstats.lang_id_sql(),
         "top_tokens": textstats.top_tokens_sql(),
@@ -143,4 +146,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "embedding_label_norms": similarity.label_centroid_norms_sql(),
+        "dedup_embedding_cosine": similarity.embedding_near_dup_pairs_sql(),
     }

@@ -71,6 +71,56 @@ def ann_ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35, sig_dims: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: block on the
+    sign signature of the first ``sig_dims`` components (a deterministic
+    hyperplane-LSH), compute exact cosine only inside buckets.  Candidate
+    count scales with bucket collisions, never n²."""
+    emb = _emb(spark, sf_dir)
+    sig = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, {d}),"
+        " x -> case when x >= 0 then '1' else '0' end))".format(d=sig_dims)
+    )
+    tagged = emb.select("vec_id", "embedding", sig.alias("sig"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    na = _DOT.format(a="a.embedding", b="a.embedding")
+    nb = _DOT.format(a="b.embedding", b="b.embedding")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim", F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    table: str = "embeddings", threshold: float = 0.35, sig_dims: int = 8
+) -> str:
+    dot = _DOT_SQL.format(a="a.v", b="b.v")
+    na = _DOT_SQL.format(a="a.v", b="a.v")
+    nb = _DOT_SQL.format(a="b.v", b="b.v")
+    return f"""
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 list_aggregate([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+                                 for i in generate_series(1, {sig_dims})],
+                                'string_agg', '') AS sig
+          FROM {table})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) AS cos_sim
+        FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) >= {threshold}
+    """
+
+
 def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector counts and mean L2 norm (rounded)."""
     emb = _emb(spark, sf_dir)

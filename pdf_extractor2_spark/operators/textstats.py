@@ -77,6 +77,37 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer family,
+    conservative char classes shared by Java regex and RE2): counts per
+    document plus the whitespace/bpe ratio."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
+        ).alias("n_bpe_tokens"),
+        F.expr("cast(size(split(text, ' ')) as long)").alias("n_ws_tokens"),
+        F.expr(
+            f"round(cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as double)"
+            " / size(split(text, ' ')), 6)"
+        ).alias("bpe_per_word"),
+    )
+
+
+def bpe_token_stats_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               round(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS bpe_per_word
+        FROM {table}
+    """
+
+
 def top_tokens(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
     """Corpus token frequencies: explode → hash aggregate → top-k
     (deterministic tie-break on the token)."""
