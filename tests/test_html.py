@@ -77,3 +77,41 @@ def test_br_preserves_multiline_cells():
     # <br> must keep both phone numbers in the cell
     cell = page.tables[0][0][0]
     assert "12 34 56 78" in cell and "98 76 54 32" in cell
+
+
+def test_scanner_equivalence():
+    """The fast scanner and the stdlib HTMLParser path must produce
+    identical pages over the whole corpus + adversarial samples."""
+    from pdf_extractor2_spark.sources.corpus import make_doc_spec, render_html
+
+    samples = [DOC]
+    for i in range(300):
+        spec = make_doc_spec(i, seed=31, pdf_share=0.0)
+        if spec.payload_kind == "html":
+            samples.append(render_html(spec))
+    samples += [
+        b"<p>a &amp; b &lt;c&gt;</p>",
+        b"<!-- comment --><p>x</p>",
+        b"<script>var x = '<p>not a tag</p>';</script><p>real</p>",
+        b"<style>p { color: red }</style><p>styled</p>",
+        b"<P>UPPER</P><BR><TABLE><TR><TD>c</TD></TR></TABLE>",
+        b"<p>trailing text",
+        b"text only, no tags at all",
+        b"<div><p>nested <b>bold</b> inline</p></div>",
+    ]
+    for payload in samples:
+        fast = extract_html(payload, engine="fast")
+        std = extract_html(payload, engine="stdlib")
+        assert fast.main_text == std.main_text, payload[:80]
+        assert fast.spans == std.spans, payload[:80]
+        assert fast.tables == std.tables, payload[:80]
+
+    # intentional divergence on pathological markup: HTMLParser leaks an
+    # unterminated comment as text ('< !-- ...'); the fast scanner drops
+    # it — the cleaner behavior is the engine's spec
+    leaky = b"<p>x</p><!-- unterminated"
+    assert extract_html(leaky, engine="fast").main_text == ""
+    # both paths must never raise on garbage
+    for junk in [b"\x00\xff<", b"<", b"<>", b"</>", b"<p", b"&#xZZ;"]:
+        extract_html(junk, engine="fast")
+        extract_html(junk, engine="stdlib")
