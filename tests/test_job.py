@@ -150,3 +150,20 @@ def test_resume(spark, tmp_path):
     a = sorted((r["url"], r["raw_json"]) for r in resumed.select("url", "raw_json").collect())
     b = sorted((r["url"], r["raw_json"]) for r in full.select("url", "raw_json").collect())
     assert a == b
+
+
+def test_hot_host_spreads_across_buckets(spark):
+    """The corpus has one host carrying ~30% of urls (FIXTURES.md §1);
+    bucketing on xxhash64(url) must spread it uniformly — no bucket may
+    hold a disproportionate share (the skew-salting requirement)."""
+    from pdf_extractor2_spark.plans.extract_job import with_bucket
+    from pdf_extractor2_spark.sources.corpus import HOT_HOST
+
+    pages = corpus_df(spark, 400, seed=23, pdf_share=0.0, num_partitions=4)
+    bucketed = with_bucket(pages.select("url", "html"), 16)
+    hot = bucketed.where(F.col("url").contains(HOT_HOST))
+    counts = [r["n"] for r in hot.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+    n_hot = sum(counts)
+    assert n_hot > 80  # the skew exists in the corpus
+    assert len(counts) >= 12  # and lands in nearly every bucket
+    assert max(counts) < n_hot * 0.25  # no single bucket dominates
