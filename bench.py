@@ -94,8 +94,11 @@ def run_extraction_bench(spark, n_docs: int, num_buckets: int) -> dict:
     ).collect()
 
     t0 = time.perf_counter()
+    # repartition=False: the production plan (file-lineage resume,
+    # plans/extract_job.run_resumable_by_file) is shuffle-free; the bucket
+    # shuffle belongs only to the optional hash-lineage mode
     agg = (
-        run_extract(pages, num_buckets=num_buckets)
+        run_extract(pages, num_buckets=num_buckets, repartition=False)
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("success").cast("long")).alias("ok"),
