@@ -70,7 +70,7 @@ def ensure_corpus(spark, n: int, seed: int = 42) -> str:
     if not os.path.exists(marker):
         from pdf_extractor2_spark.sources.corpus import corpus_df
 
-        parts = max(32, n // 8000)
+        parts = max(64, n // 4000)
         (
             corpus_df(spark, n, seed=seed, pdf_share=0.2, num_partitions=parts)
             .write.mode("overwrite")

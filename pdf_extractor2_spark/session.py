@@ -50,6 +50,12 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
+        # the extraction kernel costs ~1 ms per ~4 KB document — CPU per
+        # byte is ~10^4x a normal scan, so input splits must be small or
+        # a shuffle-free scan→mapInPandas plan starves the executors
+        # (128 MB default ⇒ a 190 MB corpus = 3 tasks on 32 cores)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.executorEnv.PYTHONHASHSEED", "0")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
