@@ -102,6 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": relational.top_orders,
         "events_user_activity": relational.events_user_activity,
         "events_json_stats": relational.events_json_stats,
+        "revenue_rollup": relational.revenue_rollup,
+        "customers_without_orders": relational.customers_without_orders,
+        "active_supplier_parts": relational.active_supplier_parts,
+        "user_customer_overlap": relational.user_customer_overlap,
+        "running_customer_revenue": relational.running_customer_revenue,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -133,6 +138,11 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.top_orders_sql(),
         "events_user_activity": relational.events_user_activity_sql(),
         "events_json_stats": relational.events_json_stats_sql(),
+        "revenue_rollup": relational.revenue_rollup_sql(),
+        "customers_without_orders": relational.customers_without_orders_sql(),
+        "active_supplier_parts": relational.active_supplier_parts_sql(),
+        "user_customer_overlap": relational.user_customer_overlap_sql(),
+        "running_customer_revenue": relational.running_customer_revenue_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),

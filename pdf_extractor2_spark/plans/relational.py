@@ -237,3 +237,138 @@ def events_json_stats_sql() -> str:
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         FROM events GROUP BY event_type
     """
+
+
+# -- grouping sets / set ops / semi-anti joins / window frames ----------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): grouping-set aggregation with
+    subtotal and grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        # subtotal rows carry NULL keys; coalesce so downstream sorters
+        # and the driver's value hasher never see mixed null/str columns
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return """
+        SELECT COALESCE(r_name, 'ALL') AS r_name,
+               COALESCE(n_name, 'ALL') AS n_name,
+               COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — the resume machinery's pending-set shape."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def customers_without_orders_sql() -> str:
+    return """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+
+def active_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + distinct aggregate."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_active_parts"))
+    )
+
+
+def active_supplier_parts_sql() -> str:
+    return """
+        SELECT p_brand, COUNT(*) AS n_active_parts FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand
+    """
+
+
+def user_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT between event users and
+    customer keys, reduced to one summary row."""
+    users = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    custs = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    both = users.intersect(custs).count()
+    only_users = users.exceptAll(custs).count()
+    only_custs = custs.exceptAll(users).count()
+    spark_df = spark.createDataFrame(
+        [(both, only_users, only_custs)],
+        "n_both long, n_only_users long, n_only_customers long",
+    )
+    return spark_df
+
+
+def user_customer_overlap_sql() -> str:
+    return """
+        WITH u AS (SELECT DISTINCT user_id AS k FROM events),
+             c AS (SELECT DISTINCT c_custkey AS k FROM customer)
+        SELECT (SELECT COUNT(*) FROM (SELECT k FROM u INTERSECT SELECT k FROM c)) AS n_both,
+               (SELECT COUNT(*) FROM (SELECT k FROM u EXCEPT SELECT k FROM c)) AS n_only_users,
+               (SELECT COUNT(*) FROM (SELECT k FROM c EXCEPT SELECT k FROM u)) AS n_only_customers
+    """
+
+
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running revenue per customer over order date."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        )
+    )
+
+
+def running_customer_revenue_sql() -> str:
+    return """
+        SELECT o_custkey, o_orderkey,
+               round(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+        FROM orders
+    """
