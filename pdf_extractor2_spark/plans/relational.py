@@ -285,11 +285,13 @@ def revenue_rollup_sql() -> str:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (NOT EXISTS) — the resume machinery's pending-set shape."""
+    """Anti join (NOT EXISTS) — the resume machinery's pending-set shape.
+    Restricted to big orders so the result is non-degenerate at every sf
+    (every customer has *some* order in this data)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
@@ -297,7 +299,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customers_without_orders_sql() -> str:
     return """
         SELECT c_custkey, c_mktsegment FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """
 
 
