@@ -272,3 +272,82 @@ def simhash_sql(table: str = "documents") -> str:
         bits AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
         SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
     """
+
+
+# ---------------------------------------------------------------------------
+# composed training-corpus filter: quality gate → exact dedup → near-dedup
+# ---------------------------------------------------------------------------
+
+def training_corpus_filter(spark: SparkSession, sf_dir: str,
+                           threshold: float = 0.5) -> DataFrame:
+    """The canonical pretraining data pipeline as one plan:
+
+      1. quality gate: drop short/thin documents;
+      2. exact dedup: keep the lowest doc_id per content digest;
+      3. near-dedup: among surviving docs, drop the higher doc_id of any
+         pair with shingle-Jaccard ≥ threshold.
+
+    Output: the kept doc_ids with their dedup provenance. Every stage is
+    a hash aggregate or inverted-index join — the same plan shapes run
+    at 10^12 documents.
+    """
+    docs = _docs(spark, sf_dir).where(
+        (F.length("text") >= 200)
+        & (F.expr("size(split(text, ' '))") >= 40)
+    )
+
+    exact_kept = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_exact_dups"))
+        .select("doc_id", "n_exact_dups")
+    )
+
+    survivors = docs.join(exact_kept, "doc_id", "left_semi")
+    ex = (
+        survivors.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+        .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+        .persist()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    near_pairs = (
+        a.join(b, (F.col("a.sid") == F.col("b.sid"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+               >= threshold)
+    )
+    near_dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    return (
+        exact_kept.join(near_dropped, "doc_id", "left_anti")
+        .select("doc_id", "n_exact_dups")
+    )
+
+
+def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+        WITH quality AS (
+          SELECT * FROM {table}
+          WHERE length(text) >= 200 AND len(string_split(text, ' ')) >= 40),
+        exact_kept AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact_dups
+          FROM quality GROUP BY md5(text)),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM quality
+                 WHERE doc_id IN (SELECT doc_id FROM exact_kept)),
+        ex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM toks),
+        ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM ex),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY 1),
+        near_dropped AS (
+          SELECT DISTINCT b.doc_id
+          FROM ids a JOIN ids b ON a.sid = b.sid AND a.doc_id < b.doc_id
+          JOIN sizes sa ON sa.doc_id = a.doc_id
+          JOIN sizes sb ON sb.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+          HAVING round(COUNT(*) * 1.0 / (sa.n + sb.n - COUNT(*)), 6) >= {threshold})
+        SELECT doc_id, n_exact_dups FROM exact_kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """

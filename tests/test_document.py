@@ -177,3 +177,23 @@ def test_fuzz_document_parity(reference, pages, grids):
     ir = DocumentIR(page_texts=pages, lattice_tables=tables)
     mine, theirs = _run_both(ir)
     assert mine == theirs
+
+
+def test_plumber_channel_is_dead_in_reference(reference):
+    """Injecting pdfplumber tables into the reference changes nothing:
+    its cleanup (scraper.py:967 ``df.replace(None, np.nan)``) raises
+    TypeError under the pinned pandas, so the whole plumber source
+    yields [] — which is why the engine's DocumentIR plumber channel is
+    legitimately always empty (SURVEY.md §8 S4)."""
+    raw_tables = [[
+        ["Navn", "Telefon", "Email"],
+        ["Niels Bohr", "12 34 56 78", "n@b.dk"],
+        ["Mette Hansen", "23 45 67 89", "m@h.dk"],
+        ["Jens Madsen", "34 56 78 90", "j@m.dk"],
+    ]]
+    with_tables = run_reference(
+        OracleDocument(page_texts=[COMPANY_PAGE], plumber_tables=[raw_tables])
+    )
+    without = run_reference(OracleDocument(page_texts=[COMPANY_PAGE]))
+    assert with_tables == without
+    assert with_tables["quality"]["tables_processed"] == 0
