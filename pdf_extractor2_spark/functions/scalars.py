@@ -21,6 +21,7 @@ Design notes vs the reference:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 __all__ = [
     "clean_text",
@@ -130,6 +131,10 @@ _ROLE_INDICATORS = (
 
 _ROLE_DEFAULT_PROJECT_KWS = ("leader", "leder", "manager", "chef", "head")
 
+# single-pass alternations: `any(x in s for x in XS)` ≡ one regex search
+_NAME_BLACKLIST_RE = re.compile("|".join(map(re.escape, _NAME_BLACKLIST)))
+_ROLE_INDICATORS_RE = re.compile("|".join(map(re.escape, _ROLE_INDICATORS)))
+
 _DANISH_PROJECT_ROLE_PATTERNS = (
     re.compile(r"Projektleder[^.\n]*"),
     re.compile(r"Byggeleder[^.\n]*"),
@@ -203,15 +208,21 @@ def is_valid_person_name(text: str | None) -> bool:
     for short-circuit cost parity: raw length 3..70 → blacklist substring
     → ALL-CAPS len>8 → 2..4 words → ≥2 capitalized → no digits → per-word
     ≥70% alphabetic for words longer than one char.
+
+    Pure str→bool, so memoized: the same cell/line strings recur across
+    the classifier, name inference and role extraction within a document.
     """
     if not text or len(text) < 3 or len(text) > 70:
         return False
+    return _is_valid_person_name_core(text)
 
+
+@lru_cache(maxsize=65536)
+def _is_valid_person_name_core(text: str) -> bool:
     cleaned = clean_text(text)
     lowered = cleaned.lower()
-    for banned in _NAME_BLACKLIST:
-        if banned in lowered:
-            return False
+    if _NAME_BLACKLIST_RE.search(lowered):
+        return False
 
     if cleaned.isupper() and len(cleaned) > 8:
         return False
@@ -250,7 +261,11 @@ def extract_phones(text: str | None) -> list[str]:
     """
     if text is None or not text:
         return []
-    s = str(text)
+    return list(_extract_phones_core(str(text)))
+
+
+@lru_cache(maxsize=65536)
+def _extract_phones_core(s: str) -> tuple[str, ...]:
     found: dict[str, None] = {}
     for pat in (_PHONE_GROUPED, _PHONE_BARE):
         for m in pat.finditer(s):
@@ -263,7 +278,7 @@ def extract_phones(text: str | None) -> list[str]:
             if "cvr" in ctx or "org nr" in ctx:
                 continue
             found.setdefault(digits, None)
-    return list(found)
+    return tuple(found)
 
 
 def extract_emails(text: str | None) -> list[str]:
@@ -354,7 +369,7 @@ def _segment_is_role(segment_lower: str, segment: str) -> bool:
             return False
     if not (3 < len(segment) < 100):
         return False
-    return any(ind in segment_lower for ind in _ROLE_INDICATORS)
+    return _ROLE_INDICATORS_RE.search(segment_lower) is not None
 
 
 def extract_roles_from_text(text: str | None) -> dict[str, list[str]]:

@@ -328,6 +328,12 @@ class PdfDocument:
             for f in names:
                 if f == ("name", "FlateDecode"):
                     raw = zlib.decompress(raw)
+                elif f == ("name", "ASCIIHexDecode"):
+                    body = raw.split(b">")[0]
+                    hexpart = re.sub(rb"\s", b"", body)
+                    if len(hexpart) % 2:
+                        hexpart += b"0"
+                    raw = bytes.fromhex(hexpart.decode("ascii"))
                 else:
                     raise PdfError(f"unsupported filter {f!r}")
         return d, raw

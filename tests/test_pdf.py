@@ -134,3 +134,82 @@ def test_kernel_parity_on_corpus_pdfs(reference, idx):
         )
     )
     assert mine == theirs
+
+
+# ---------------------------------------------------------------------------
+# format-breadth: constructs real CC PDFs exercise beyond the fixture writer
+# ---------------------------------------------------------------------------
+
+def _minimal_pdf(content_objs: bytes, extra: bytes, n_content: int,
+                 contents_ref: bytes) -> bytes:
+    """Assemble a classic-xref PDF with externally supplied content
+    objects (object numbers 5..4+n) and a /Contents reference value."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [ 4 0 R ] >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: b"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 595 842 ] "
+           b"/Resources << /Font << /F1 3 0 R >> >> /Contents " + contents_ref + b" >>",
+    }
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    # caller-provided content objects (pre-rendered with correct numbering)
+    for i, blob in enumerate(content_objs):
+        offsets[5 + i] = len(out)
+        out += blob
+    maxnum = 4 + n_content
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (maxnum + 1)
+    for num in range(1, maxnum + 1):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        maxnum + 1, xref)
+    return bytes(out) + extra
+
+
+def test_contents_array_multiple_streams():
+    """/Contents as an array of two streams — concatenated in order."""
+    s1 = b"BT /F1 11 Tf 1 0 0 1 40 800 Tm (del et) Tj ET"
+    s2 = b"BT /F1 11 Tf 1 0 0 1 40 786 Tm (del to) Tj ET"
+    blobs = [
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(s1), s1),
+        b"6 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(s2), s2),
+    ]
+    pdf = _minimal_pdf(blobs, b"", 2, b"[ 5 0 R 6 0 R ]")
+    parsed = extract_pdf(pdf)
+    assert parsed.page_texts == ["del et\ndel to"]
+
+
+def test_asciihex_filter():
+    content = b"BT /F1 11 Tf 1 0 0 1 40 800 Tm (hex tekst) Tj ET"
+    hexed = content.hex().encode() + b">"
+    blob = (b"5 0 obj\n<< /Filter /ASCIIHexDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(hexed), hexed))
+    pdf = _minimal_pdf([blob], b"", 1, b"5 0 R")
+    assert extract_pdf(pdf).page_texts == ["hex tekst"]
+
+
+def test_incremental_update_prev_chain():
+    """An appended revision replaces the content stream via a new xref
+    section with /Prev — the reader must take the newest object."""
+    s1 = b"BT /F1 11 Tf 1 0 0 1 40 800 Tm (gammel) Tj ET"
+    blob = b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(s1), s1)
+    base = _minimal_pdf([blob], b"", 1, b"5 0 R")
+    # locate the original startxref for the /Prev pointer
+    import re as _re
+
+    prev_xref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+
+    s2 = b"BT /F1 11 Tf 1 0 0 1 40 800 Tm (nyere) Tj ET"
+    upd = bytearray(base)
+    new_obj_off = len(upd)
+    upd += b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(s2), s2)
+    xref2 = len(upd)
+    upd += b"xref\n5 1\n%010d 00000 n \n" % new_obj_off
+    upd += b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        prev_xref, xref2)
+    parsed = extract_pdf(bytes(upd))
+    assert parsed.page_texts == ["nyere"]
