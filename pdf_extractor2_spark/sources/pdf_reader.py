@@ -718,15 +718,26 @@ def extract_pdf(payload: bytes) -> ExtractedPdf:
                 config_tables.append((grid, pno, _accuracy(grid)))
         by_config.append(config_tables)
 
-    # spans: one paragraph span per text line, offsets into the joined
-    # page text (pages separated by '\n\f\n' in the result table)
+    # spans: one span per text line, offsets into the joined page text
+    # (pages separated by '\n\f\n' in the result table); kind taxonomy
+    # per FIXTURES.md §4, derived from the same line clustering the page
+    # text uses: heading = short ALL-CAPS line (KONTAKTER-style section
+    # headers), table_field = line with ≥2 positioned runs (the stream
+    # profile's table-row criterion), paragraph otherwise
     spans: list[dict] = []
     offset = 0
-    for pi, text in enumerate(page_texts):
-        for line in text.split("\n"):
+    for runs, _segments in per_page:
+        for line_runs in cluster_lines(runs, row_tol=2.0):
+            line = " ".join(r.text for r in line_runs)
             if line:
+                if len(line) < 40 and line.isupper():
+                    kind = "heading"
+                elif len(line_runs) >= 2:
+                    kind = "table_field"
+                else:
+                    kind = "paragraph"
                 spans.append(
-                    {"kind": "paragraph", "start": offset, "end": offset + len(line), "text": line}
+                    {"kind": kind, "start": offset, "end": offset + len(line), "text": line}
                 )
             offset += len(line) + 1
         offset += 2  # '\f\n' of the page separator minus counted '\n'

@@ -213,3 +213,20 @@ def test_incremental_update_prev_chain():
         prev_xref, xref2)
     parsed = extract_pdf(bytes(upd))
     assert parsed.page_texts == ["nyere"]
+
+
+def test_pdf_span_kinds_and_offsets():
+    spec = _spec(7, company_lines=["ByggeData A/S"],
+                 section_lines=["KONTAKTER", "Niels Bohr 12 34 56 78"],
+                 tables=[[["Navn", "Telefon"],
+                          ["Niels Bohr", "12 34 56 78"],
+                          ["Mette Hansen", "22 33 44 55"]]])
+    parsed = extract_pdf(render_pdf(spec))
+    joined = "\n\f\n".join(parsed.page_texts)
+    kinds = {}
+    for s in parsed.spans:
+        assert joined[s["start"]: s["end"]] == s["text"], s
+        kinds.setdefault(s["kind"], []).append(s["text"])
+    assert any(t == "KONTAKTER" for t in kinds.get("heading", []))
+    assert any("Niels Bohr" in t for t in kinds.get("table_field", []))
+    assert any("ByggeData" in t for t in kinds.get("paragraph", []))
