@@ -1,0 +1,39 @@
+"""Adversarial payload robustness: mutated/truncated/garbage payloads
+must always produce exactly one success-or-failure ROW — never an
+exception out of the kernel (app.py:180-186 semantics at corpus scale)."""
+
+from __future__ import annotations
+
+import random
+
+from pdf_extractor2_spark.plans.extract_job import _extract_one
+from pdf_extractor2_spark.sources.corpus import make_doc_spec, render_payload
+
+
+def _mutations(payload: bytes, rng: random.Random) -> list[bytes]:
+    out = []
+    n = len(payload)
+    out.append(payload[: rng.randint(0, n)])                      # truncation
+    cut = rng.randint(0, max(0, n - 10))
+    out.append(payload[:cut] + payload[cut + rng.randint(1, 9):])  # deletion
+    pos = rng.randint(0, max(0, n - 1))
+    out.append(payload[:pos] + bytes([rng.randint(0, 255)]) + payload[pos + 1:])  # bitflip
+    out.append(payload + payload[: rng.randint(0, n)])             # duplication
+    out.append(bytes(rng.randint(0, 255) for _ in range(rng.randint(1, 300))))  # noise
+    return out
+
+
+def test_kernel_never_raises_on_mutated_payloads():
+    rng = random.Random("robustness-r1")
+    n_rows = 0
+    for i in range(60):
+        spec = make_doc_spec(i, seed=3, pdf_share=0.3)
+        payload = render_payload(spec)
+        if not payload:
+            continue
+        for mutant in _mutations(payload, rng):
+            row = _extract_one(f"u{i}", mutant, 0)  # must not raise
+            assert isinstance(row["success"], bool)
+            assert row["success"] or row["error"]
+            n_rows += 1
+    assert n_rows > 200

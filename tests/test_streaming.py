@@ -34,3 +34,24 @@ def test_stream_matches_batch(spark, tmp_path):
 
     metrics = spark.read.parquet(str(tmp_path / "metrics"))
     assert metrics.agg(F.sum("n_docs")).collect()[0][0] == 40
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    """Re-starting the drained stream with the same checkpoint must write
+    nothing new (exactly-once file-source progress tracking)."""
+    pages = corpus_df(spark, 12, seed=29, pdf_share=0.0, num_partitions=1)
+    inp = str(tmp_path / "pages")
+    pages.write.parquet(inp)
+
+    args = dict(
+        input_path=inp,
+        output_path=str(tmp_path / "out"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        num_buckets=2,
+    )
+    stream_extract(spark, **args).awaitTermination(120)
+    first = spark.read.parquet(args["output_path"]).count()
+    stream_extract(spark, **args).awaitTermination(120)
+    again = spark.read.parquet(args["output_path"]).count()
+    assert first == again == 12
