@@ -37,6 +37,7 @@ from ..operators.document import CandidateTable, DocumentIR, parse_document, res
 from ..sources.html_extract import extract_html
 
 HASH_SALT = 42  # fixed xxhash64 seed: deterministic across restarts
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024  # document-size skew guard (failure row)
 
 RESULT_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -75,6 +76,9 @@ def payload_to_ir(payload: bytes | None) -> tuple[DocumentIR, list[dict], str]:
     """
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
+    if len(payload) > MAX_PAYLOAD_BYTES:
+        # one pathological page must not stall a task at 10^12-doc scale
+        raise ValueError(f"payload too large ({len(payload)} bytes)")
 
     if payload[:5] == b"%PDF-":
         from ..sources.pdf_reader import extract_pdf

@@ -44,6 +44,19 @@ class PdfError(ValueError):
     pass
 
 
+# decompression bound: a zlib bomb in one document must become a failure
+# row, not a stalled executor (SURVEY.md §9 "document-size skew")
+MAX_INFLATED_BYTES = 256 * 1024 * 1024
+
+
+def _bounded_inflate(raw: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(raw, MAX_INFLATED_BYTES)
+    if d.unconsumed_tail:
+        raise PdfError("FlateDecode output exceeds bound (decompression bomb?)")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # lexer / object parser
 # ---------------------------------------------------------------------------
@@ -327,7 +340,7 @@ class PdfDocument:
             names = [filt] if not isinstance(filt, list) else filt
             for f in names:
                 if f == ("name", "FlateDecode"):
-                    raw = zlib.decompress(raw)
+                    raw = _bounded_inflate(raw)
                 elif f == ("name", "ASCIIHexDecode"):
                     body = raw.split(b">")[0]
                     hexpart = re.sub(rb"\s", b"", body)

@@ -37,3 +37,26 @@ def test_kernel_never_raises_on_mutated_payloads():
             assert row["success"] or row["error"]
             n_rows += 1
     assert n_rows > 200
+
+
+def test_payload_size_cap():
+    from pdf_extractor2_spark.plans import extract_job
+
+    big = b"<html>" + b"x" * (extract_job.MAX_PAYLOAD_BYTES + 1)
+    row = _extract_one("u-big", big, 0)
+    assert row["success"] is False and "too large" in row["error"]
+
+
+def test_decompression_bomb_becomes_failure_row():
+    import zlib
+
+    # a PDF whose content stream inflates from ~1 MB to ~1 GB
+    bomb = zlib.compress(b"\x00" * (1024 * 1024 * 1024), 9)
+    blob = (b"5 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(bomb)
+            + bomb + b"\nendstream\nendobj\n")
+    from test_pdf import _minimal_pdf
+
+    pdf = _minimal_pdf([blob], b"", 1, b"5 0 R")
+    row = _extract_one("u-bomb", pdf, 0)
+    assert row["success"] is False
+    assert "bomb" in row["error"] or "bound" in row["error"]
