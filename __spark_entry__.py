@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_supplier_parts": relational.active_supplier_parts,
         "user_customer_overlap": relational.user_customer_overlap,
         "running_customer_revenue": relational.running_customer_revenue,
+        "asof_last_click": relational.asof_last_click,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "active_supplier_parts": relational.active_supplier_parts_sql(),
         "user_customer_overlap": relational.user_customer_overlap_sql(),
         "running_customer_revenue": relational.running_customer_revenue_sql(),
+        "asof_last_click": relational.asof_last_click_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),

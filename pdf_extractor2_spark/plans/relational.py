@@ -375,3 +375,60 @@ def running_customer_revenue_sql() -> str:
                  ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
         FROM orders
     """
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    strictly-earlier click (the canonical point-in-time join Spark lacks
+    natively). Spark expression: union both event kinds, order per user
+    by (ts, kind) with purchases before same-ts clicks, carry the last
+    click time forward with an ignore-nulls window ending one row back —
+    one shuffle, no range explosion. DuckDB oracle uses its native
+    ASOF LEFT JOIN."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").cast("double").alias("epoch"),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "kind")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "last_click_epoch",
+        F.last(F.when(F.col("kind") == 1, F.col("epoch")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("kind") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.round("epoch", 6).alias("purchase_epoch"),
+            # -1.0 sentinel for "no prior click": mixed null/float columns
+            # break order-insensitive row sorting in value compares
+            F.coalesce(F.round("last_click_epoch", 6), F.lit(-1.0)).alias(
+                "last_click_epoch"
+            ),
+        )
+    )
+
+
+def asof_last_click_sql() -> str:
+    return """
+        WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               round(epoch(p.ts), 6) AS purchase_epoch,
+               COALESCE(round(epoch(c.ts), 6), -1.0) AS last_click_epoch
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+    """
