@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_customer_overlap": relational.user_customer_overlap,
         "running_customer_revenue": relational.running_customer_revenue,
         "asof_last_click": relational.asof_last_click,
+        "range_join_nearby_events": relational.range_join_nearby_events,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "user_customer_overlap": relational.user_customer_overlap_sql(),
         "running_customer_revenue": relational.running_customer_revenue_sql(),
         "asof_last_click": relational.asof_last_click_sql(),
+        "range_join_nearby_events": relational.range_join_nearby_events_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),

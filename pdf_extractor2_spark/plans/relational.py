@@ -432,3 +432,45 @@ def asof_last_click_sql() -> str:
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts > c.ts
     """
+
+
+def range_join_nearby_events(spark: SparkSession, sf_dir: str,
+                             window_s: int = 300) -> DataFrame:
+    """Range join: per purchase, how many other events by the same user
+    fall within ±window_s seconds. Expressed as an equi-join on user_id
+    with a range predicate — Catalyst keeps the hash join on the key and
+    filters the time band, so there is no quadratic blow-up beyond the
+    per-user group."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("epoch"),
+        "event_type",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("epoch").alias("p_epoch"),
+    )
+    joined = purchases.join(
+        ev,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("event_id") != F.col("purchase_id"))
+        & (F.abs(F.col("epoch") - F.col("p_epoch")) <= window_s),
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+def range_join_nearby_events_sql(window_s: int = 300) -> str:
+    return f"""
+        WITH p AS (SELECT user_id, event_id AS purchase_id, epoch(ts) AS p_epoch
+                   FROM events WHERE event_type = 'purchase')
+        SELECT purchase_id, COUNT(*) AS n_nearby
+        FROM p JOIN events e
+          ON p.user_id = e.user_id
+         AND e.event_id != p.purchase_id
+         AND abs(epoch(e.ts) - p_epoch) <= {window_s}
+        GROUP BY purchase_id
+    """
