@@ -80,6 +80,18 @@ def payload_to_ir(payload: bytes | None) -> tuple[DocumentIR, list[dict], str]:
         # one pathological page must not stall a task at 10^12-doc scale
         raise ValueError(f"payload too large ({len(payload)} bytes)")
 
+    if payload[:2] == b"\x1f\x8b":
+        # gzip-wrapped payload (common in WARC-derived tables); bounded
+        # like FlateDecode — a bomb becomes a failure row
+        import zlib
+
+        d = zlib.decompressobj(wbits=31)
+        payload = d.decompress(payload, MAX_PAYLOAD_BYTES)
+        if d.unconsumed_tail:
+            raise ValueError("gzip payload exceeds bound (decompression bomb?)")
+        if len(payload) == 0:
+            raise ValueError("empty gzip payload")
+
     if payload[:5] == b"%PDF-":
         from ..sources.pdf_reader import extract_pdf
 

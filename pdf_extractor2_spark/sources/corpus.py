@@ -248,13 +248,15 @@ def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def render_html(spec: DocSpec, rng: random.Random | None = None) -> bytes:
+def render_html(spec: DocSpec, rng: random.Random | None = None,
+                encoding: str = "utf-8") -> bytes:
     rng = rng or random.Random(f"pex2html:{spec.idx}")
     nav = "".join(
         f'<a href="/{w.lower()}">{w}</a> ' for w in rng.sample(_BOILER_LINKS, 6)
     )
+    charset = "iso-8859-1" if encoding == "latin-1" else encoding
     parts = [
-        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<!DOCTYPE html><html><head><meta charset='{charset}'>",
         f"<title>{_esc(spec.title)}</title></head><body>",
         f"<nav>{nav}</nav>",
         f"<header><a href='/'>{HOT_HOST}</a> — <a href='/arkiv'>arkiv</a></header>",
@@ -283,7 +285,7 @@ def render_html(spec: DocSpec, rng: random.Random | None = None) -> bytes:
     parts.append("<footer>" + " ".join(
         f'<a href="/f{i}">{w}</a>' for i, w in enumerate(_BOILER_LINKS)
     ) + "</footer></body></html>")
-    return "\n".join(parts).encode("utf-8")
+    return "\n".join(parts).encode(encoding, errors="replace")
 
 
 def render_payload(spec: DocSpec) -> bytes | None:
@@ -293,6 +295,15 @@ def render_payload(spec: DocSpec) -> bytes | None:
         from .pdf_writer import render_pdf
 
         return render_pdf(spec)
+    # transport/encoding variants real CC-derived tables exhibit:
+    # ~15% gzip-wrapped, ~15% latin-1 with a meta charset declaration
+    v = random.Random(f"pex2var:{spec.idx}").random()
+    if v < 0.15:
+        import gzip
+
+        return gzip.compress(render_html(spec), compresslevel=6, mtime=0)
+    if v < 0.30:
+        return render_html(spec, encoding="latin-1")
     return render_html(spec)
 
 

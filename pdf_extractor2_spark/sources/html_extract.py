@@ -237,13 +237,41 @@ def _scan(html: str, h: "_Extractor") -> None:
                 i = gt2 + 1 if gt2 >= 0 else n
 
 
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "iso-8859-15": "iso-8859-15",
+    "us-ascii": "ascii",
+}
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """Charset-aware decode: honor a ``<meta charset=...>`` declaration in
+    the first 2 KB when it names a supported encoding (Danish CC pages
+    are frequently latin-1/cp1252); otherwise strict-try UTF-8, then
+    fall back to latin-1 (never fails — every byte is mappable)."""
+    m = _CHARSET_RE.search(payload[:2048])
+    if m:
+        enc = _KNOWN_CHARSETS.get(m.group(1).decode("ascii", "ignore").lower())
+        if enc:
+            return payload.decode(enc, errors="replace")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
 def extract_html(payload: bytes | str, engine: str = "fast") -> ExtractedPage:
     """Parse one HTML payload into main text, spans and table grids.
 
     ``engine='fast'`` uses the direct scanner (hot path); ``'stdlib'``
     drives html.parser.HTMLParser — kept for the equivalence test."""
     if isinstance(payload, bytes):
-        payload = payload.decode("utf-8", errors="replace")
+        payload = decode_html_bytes(payload)
 
     parser = _Extractor()
     try:

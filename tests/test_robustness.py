@@ -60,3 +60,47 @@ def test_decompression_bomb_becomes_failure_row():
     row = _extract_one("u-bomb", pdf, 0)
     assert row["success"] is False
     assert "bomb" in row["error"] or "bound" in row["error"]
+
+
+def test_gzip_and_latin1_payload_variants():
+    """The corpus carries gzip-wrapped and latin-1 HTML payloads; the
+    kernel must transparently decode both (Danish chars intact)."""
+    import gzip
+
+    from pdf_extractor2_spark.plans.extract_job import payload_to_ir
+    from pdf_extractor2_spark.sources.html_extract import decode_html_bytes
+
+    html = ("<!DOCTYPE html><html><head><meta charset='iso-8859-1'>"
+            "<title>Søren på Ærø</title></head><body><article>"
+            "<p>Vi bygger rækkehuse i Åbenrå for 45 mio. kr</p>"
+            "</article></body></html>")
+    latin = html.encode("latin-1")
+    assert "Søren på Ærø" in decode_html_bytes(latin)
+
+    ir, _, kind = payload_to_ir(latin)
+    assert kind == "html"
+    assert "rækkehuse i Åbenrå" in ir.page_texts[0]
+
+    gz = gzip.compress(html.encode("latin-1"))
+    ir2, _, kind2 = payload_to_ir(gz)
+    assert kind2 == "html"
+    assert ir2.page_texts == ir.page_texts
+
+    # gzip-wrapped PDFs work too
+    from pdf_extractor2_spark.sources.corpus import make_doc_spec, render_payload
+
+    spec = next(
+        make_doc_spec(i, seed=11, pdf_share=0.9) for i in range(50)
+        if make_doc_spec(i, seed=11, pdf_share=0.9).payload_kind == "pdf"
+    )
+    pdf_payload = render_payload(spec)
+    ir3, _, k3 = payload_to_ir(gzip.compress(pdf_payload))
+    assert k3 == "pdf" and ir3.page_texts
+
+
+def test_gzip_bomb_becomes_failure_row():
+    import gzip
+
+    bomb = gzip.compress(b"\x00" * (300 * 1024 * 1024))
+    row = _extract_one("u-gzbomb", bomb, 0)
+    assert row["success"] is False and "bomb" in row["error"]
