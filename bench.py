@@ -60,8 +60,11 @@ GENERIC_QUERIES = [
 ]
 
 
+CORPUS_VERSION = "v2"  # bump when sources/corpus.py rendering changes
+
+
 def _corpus_path(n: int, seed: int) -> str:
-    return f"{CACHE_ROOT}/pages_n{n}_s{seed}.parquet"
+    return f"{CACHE_ROOT}/pages_{CORPUS_VERSION}_n{n}_s{seed}.parquet"
 
 
 def ensure_corpus(spark, n: int, seed: int = 42) -> str:
