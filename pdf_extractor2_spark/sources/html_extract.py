@@ -34,6 +34,12 @@ _BLOCK_TAGS = frozenset(
     "p h1 h2 h3 h4 h5 h6 li td th caption blockquote pre dt dd figcaption".split()
 )
 _BOILERPLATE_TAGS = frozenset("nav footer aside header form".split())
+# ARIA landmark roles that mark boilerplate containers on real pages
+# (divs standing in for nav/footer/aside)
+_BOILERPLATE_ROLES = frozenset(
+    "navigation banner contentinfo search complementary menubar".split()
+)
+_ROLE_ATTR_RE = re.compile(r"""\brole\s*=\s*["']?\s*([A-Za-z\-]+)""", re.IGNORECASE)
 _SKIP_TAGS = frozenset("script style template noscript svg".split())
 _HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
@@ -79,6 +85,7 @@ class _Extractor(HTMLParser):
         self._stack: list[str] = []
         self._skip_depth = 0
         self._boiler_depth = 0
+        self._role_boiler_open: dict[str, int] = {}
         self._link_depth = 0
         self._in_title = False
         self._current: _Block | None = None
@@ -96,6 +103,11 @@ class _Extractor(HTMLParser):
             self._skip_depth += 1
         if tag in _BOILERPLATE_TAGS:
             self._boiler_depth += 1
+        elif attrs:
+            role = next((v for k, v in attrs if k == "role" and v), None)
+            if role and role.strip().lower() in _BOILERPLATE_ROLES:
+                self._boiler_depth += 1
+                self._role_boiler_open[tag] = self._role_boiler_open.get(tag, 0) + 1
         if tag == "a":
             self._link_depth += 1
         if tag == "title":
@@ -131,6 +143,9 @@ class _Extractor(HTMLParser):
         if tag in _SKIP_TAGS and self._skip_depth:
             self._skip_depth -= 1
         if tag in _BOILERPLATE_TAGS and self._boiler_depth:
+            self._boiler_depth -= 1
+        elif self._role_boiler_open.get(tag, 0) > 0 and self._boiler_depth:
+            self._role_boiler_open[tag] -= 1
             self._boiler_depth -= 1
         if tag == "a" and self._link_depth:
             self._link_depth -= 1
@@ -227,7 +242,12 @@ def _scan(html: str, h: "_Extractor") -> None:
         if closing:
             h.handle_endtag(name)
         else:
-            h.handle_starttag(name, [])
+            attrs = []
+            if "role" in inner or "ROLE" in inner or "Role" in inner:
+                m_role = _ROLE_ATTR_RE.search(inner)
+                if m_role:
+                    attrs = [("role", m_role.group(1))]
+            h.handle_starttag(name, attrs)
             if name in _RAW_TEXT_TAGS and not inner.endswith("/"):
                 close = lower.find("</" + name, i)
                 if close < 0:

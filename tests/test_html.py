@@ -115,3 +115,19 @@ def test_scanner_equivalence():
     for junk in [b"\x00\xff<", b"<", b"<>", b"</>", b"<p", b"&#xZZ;"]:
         extract_html(junk, engine="fast")
         extract_html(junk, engine="stdlib")
+
+
+def test_role_attribute_boilerplate():
+    """divs marked with ARIA landmark roles are boilerplate containers."""
+    doc = b"""<html><body>
+    <div role="navigation"><a href="/a">Menu punkt et</a> <a href="/b">Menu punkt to</a></div>
+    <div><p>Rigtigt indhold om byggeriet i Valby her.</p></div>
+    <div role="contentinfo"><p>Copyright foo bar baz corp</p></div>
+    <div role="main"><p>Mere rigtigt indhold der skal med.</p></div>
+    </body></html>"""
+    for engine in ("fast", "stdlib"):
+        page = extract_html(doc, engine=engine)
+        assert "Menu punkt" not in page.main_text, engine
+        assert "Copyright" not in page.main_text, engine
+        assert "Rigtigt indhold" in page.main_text, engine
+        assert "Mere rigtigt indhold" in page.main_text, engine
