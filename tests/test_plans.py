@@ -91,3 +91,15 @@ def test_whole_stage_codegen_active(spark):
         pricing_summary(spark, "/root/testdata/sf0.001").explain("codegen")
     # the aggregate pipeline must be inside whole-stage-codegen subtrees
     assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_dedup_plans_have_no_cartesian_product(spark):
+    """The similarity/dedup family must never degenerate into a cross
+    product — candidate pairs come from inverted-index or bucket joins."""
+    from pdf_extractor2_spark.operators import dedup, similarity
+
+    for fn in (dedup.jaccard_pairs, dedup.minhash_lsh_pairs,
+               similarity.embedding_near_dup_pairs):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
