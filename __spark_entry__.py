@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": relational.events_user_activity,
         "events_json_stats": relational.events_json_stats,
         "revenue_rollup": relational.revenue_rollup,
+        "activity_cube": relational.activity_cube,
         "customers_without_orders": relational.customers_without_orders,
         "active_supplier_parts": relational.active_supplier_parts,
         "user_customer_overlap": relational.user_customer_overlap,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_activity": relational.events_user_activity_sql(),
         "events_json_stats": relational.events_json_stats_sql(),
         "revenue_rollup": relational.revenue_rollup_sql(),
+        "activity_cube": relational.activity_cube_sql(),
         "customers_without_orders": relational.customers_without_orders_sql(),
         "active_supplier_parts": relational.active_supplier_parts_sql(),
         "user_customer_overlap": relational.user_customer_overlap_sql(),

@@ -474,3 +474,31 @@ def range_join_nearby_events_sql(window_s: int = 300) -> str:
          AND abs(epoch(e.ts) - p_epoch) <= {window_s}
         GROUP BY purchase_id
     """
+
+
+def activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all grouping-set combinations."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "weekday", F.date_format(F.col("ts").cast("timestamp"), "E")
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def activity_cube_sql() -> str:
+    return """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(strftime(ts, '%a'), 'ALL') AS weekday,
+               COUNT(*) AS n_events,
+               round(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY CUBE (event_type, strftime(ts, '%a'))
+    """
