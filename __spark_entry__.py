@@ -48,11 +48,16 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full extraction kernel over synthesized pages."""
+    """Rows-only: full extraction kernel over synthesized pages.
+
+    ``methods`` is serialized to a comma-joined string here: the driver
+    canonicalizes results with pandas and cannot hash array cells; the
+    results table itself keeps the typed ``array<string>`` column."""
     results = run_extract(_pages_from_documents(spark, sf_dir), num_buckets=32)
     return results.select(
         "url", "success", "payload_kind", "n_contacts", "n_projects",
-        "n_tenders", "n_tables", "methods",
+        "n_tenders", "n_tables",
+        F.array_join(F.col("methods"), ",").alias("methods"),
     )
 
 
@@ -74,8 +79,49 @@ def extract_text_roundtrip_sql() -> str:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: binary-column decode-stub feature extraction."""
-    return multimodal.media_features(_pages_from_documents(spark, sf_dir))
+    """Binary-column decode-stub feature extraction, now oracle-paired:
+    every column (incl. the digest-derived stub dimensions) is recomputed
+    by DuckDB from the same synthesized payload bytes.  The driver-facing
+    projection folds ``feature array<float>`` into its exact double sum
+    (components are b/256.0 — exact binary fractions, so the fold is
+    bit-identical across engines); the full typed array stays on the
+    ``media_features`` result."""
+    feats = multimodal.media_features(_pages_from_documents(spark, sf_dir))
+    return feats.select(
+        "url", "n_bytes", "magic", "media_kind", "sha256",
+        "fake_width", "fake_height",
+        F.expr(
+            "aggregate(feature, 0D, (acc, x) -> acc + cast(x as double))"
+        ).alias("feature_sum"),
+    )
+
+
+def multimodal_features_sql() -> str:
+    """DuckDB twin: rebuild the same HTML payload per document, sha256 it
+    (DuckDB hashes the UTF-8 bytes, same as the Python kernel), and derive
+    the stub's fake dimensions + feature sum from the hex digest."""
+    hexv = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    def byte(k: int) -> str:  # digest byte k (0-based) from hex chars 2k+1, 2k+2
+        return f"(16 * {hexv.format(pos=2 * k + 1)} + {hexv.format(pos=2 * k + 2)})"
+    feat_sum = " + ".join(byte(k) for k in range(2, 10))
+    return f"""
+        WITH pages AS (
+          SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><article><p>' || text
+                   || '</p></article></body></html>' AS payload
+          FROM documents),
+        hashed AS (SELECT url, payload, sha256(payload) AS h FROM pages)
+        SELECT url,
+               CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+               lower(hex(encode(substr(payload, 1, 4)))) AS magic,
+               'html' AS media_kind,
+               h AS sha256,
+               CAST(64 + ({byte(0)} % 192) AS INTEGER) AS fake_width,
+               CAST(64 + ({byte(1)} % 192) AS INTEGER) AS fake_height,
+               ({feat_sum}) / 256.0 AS feature_sum
+        FROM hashed
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -134,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text_roundtrip": extract_text_roundtrip_sql(),
+        "multimodal_features": multimodal_features_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "parts_by_brand": relational.parts_by_brand_sql(),

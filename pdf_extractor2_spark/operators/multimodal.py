@@ -24,7 +24,7 @@ MEDIA_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("magic", T.StringType(), True),
     T.StructField("media_kind", T.StringType(), True),
-    T.StructField("sha1", T.StringType(), True),
+    T.StructField("sha256", T.StringType(), True),
     T.StructField("fake_width", T.IntegerType(), True),
     T.StructField("fake_height", T.IntegerType(), True),
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
@@ -45,11 +45,16 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     (no PIL/ffmpeg). Produces deterministic fake dimensions and an
     8-dim feature vector derived from the content digest, so the
     Spark-side plumbing (schema, batch shape, partitioning) is fully
-    exercised. Replace with a real decoder in production."""
-    digest = hashlib.sha1(payload).digest()
+    exercised. Replace with a real decoder in production.
+
+    Feature components are b/256.0 (exact binary fractions, exactly
+    representable in float32), so downstream double arithmetic is
+    bit-identical across engines — the DuckDB oracle recomputes them
+    from the sha256 hex digest."""
+    digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
-    feature = [round(b / 255.0, 6) for b in digest[2:10]]
+    feature = [b / 256.0 for b in digest[2:10]]
     return width, height, feature
 
 
@@ -67,7 +72,7 @@ def media_features_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFr
             if payload is None or len(payload) == 0:
                 rows.append({
                     "url": url, "n_bytes": 0, "magic": None, "media_kind": None,
-                    "sha1": None, "fake_width": None, "fake_height": None,
+                    "sha256": None, "fake_width": None, "fake_height": None,
                     "feature": None,
                 })
                 continue
@@ -78,7 +83,7 @@ def media_features_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFr
                 "n_bytes": len(data),
                 "magic": data[:4].hex(),
                 "media_kind": _sniff(data),
-                "sha1": hashlib.sha1(data).hexdigest(),
+                "sha256": hashlib.sha256(data).hexdigest(),
                 "fake_width": width,
                 "fake_height": height,
                 "feature": feature,

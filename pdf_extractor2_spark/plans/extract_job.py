@@ -89,6 +89,10 @@ def payload_to_ir(payload: bytes | None) -> tuple[DocumentIR, list[dict], str]:
         payload = d.decompress(payload, MAX_PAYLOAD_BYTES)
         if d.unconsumed_tail:
             raise ValueError("gzip payload exceeds bound (decompression bomb?)")
+        if not d.eof:
+            # stream did not terminate cleanly — a truncated gzip payload
+            # must become a failure row, not a silently partial document
+            raise ValueError("truncated gzip payload")
         if len(payload) == 0:
             raise ValueError("empty gzip payload")
 

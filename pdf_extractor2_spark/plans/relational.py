@@ -324,18 +324,29 @@ def active_supplier_parts_sql() -> str:
 
 
 def user_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: INTERSECT / EXCEPT between event users and
-    customer keys, reduced to one summary row."""
-    users = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
-    custs = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
-    both = users.intersect(custs).count()
-    only_users = users.exceptAll(custs).count()
-    only_custs = custs.exceptAll(users).count()
-    spark_df = spark.createDataFrame(
-        [(both, only_users, only_custs)],
-        "n_both long, n_only_users long, n_only_customers long",
+    """Set overlap between event users and customer keys as ONE
+    distributed plan: full-outer join of the two distinct key sets, then
+    a single conditional aggregate — no driver-side .count() round-trips
+    (each distinct and the join shuffle on the same key, so Catalyst
+    reuses the hash partitioning; one job, one result row)."""
+    users = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k")).distinct()
+        .withColumn("in_u", F.lit(1))
     )
-    return spark_df
+    custs = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k")).distinct()
+        .withColumn("in_c", F.lit(1))
+    )
+    return users.join(custs, "k", "full_outer").agg(
+        F.sum((F.col("in_u").isNotNull() & F.col("in_c").isNotNull()).cast("long"))
+        .alias("n_both"),
+        F.sum((F.col("in_u").isNotNull() & F.col("in_c").isNull()).cast("long"))
+        .alias("n_only_users"),
+        F.sum((F.col("in_u").isNull() & F.col("in_c").isNotNull()).cast("long"))
+        .alias("n_only_customers"),
+    )
 
 
 def user_customer_overlap_sql() -> str:

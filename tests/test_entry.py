@@ -57,7 +57,7 @@ def test_all_queries_have_unique_names():
     assert set(o) <= set(q)
     # every oracle-less query is intentionally rows-only
     rows_only = set(q) - set(o)
-    assert rows_only == {"extract_pipeline", "multimodal_features"}
+    assert rows_only == {"extract_pipeline"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
@@ -80,7 +80,21 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
-@pytest.mark.parametrize("name", ["extract_pipeline", "multimodal_features"])
+@pytest.mark.parametrize("name", ["extract_pipeline"])
 def test_rows_only_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_no_unhashable_columns_in_driver_projections(spark):
+    """The driver canonicalizes results with pandas sort_values, which
+    dies on array/map/struct cells — every queries() schema must be flat
+    (round-1 regression: `methods array<string>`, `feature array<float>`)."""
+    from pyspark.sql import types as T
+
+    for name, q in entrymod.queries().items():
+        df = q(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), f"{name}.{f.name} is {f.dataType.simpleString()}"

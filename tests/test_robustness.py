@@ -104,3 +104,14 @@ def test_gzip_bomb_becomes_failure_row():
     bomb = gzip.compress(b"\x00" * (300 * 1024 * 1024))
     row = _extract_one("u-gzbomb", bomb, 0)
     assert row["success"] is False and "bomb" in row["error"]
+
+
+def test_truncated_gzip_becomes_failure_row():
+    """A gzip stream cut off mid-flight decompresses to a partial
+    document; d.eof is False and the row must fail, not half-succeed."""
+    import gzip
+
+    whole = gzip.compress(b"<html><body><p>" + b"hello world " * 2000 + b"</p></body></html>")
+    truncated = whole[: len(whole) // 2]
+    row = _extract_one("u-gztrunc", truncated, 0)
+    assert row["success"] is False and "truncated" in row["error"]
