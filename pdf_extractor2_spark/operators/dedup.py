@@ -28,6 +28,13 @@ P56 = 72_057_594_037_927_931  # 2^56 - 5: rolling-hash modulus (acc*127+255 stay
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
+# stop-shingle document-frequency cap (prefix filtering): a shingle seen in
+# more than MAX_SHINGLE_DF documents is boilerplate — it would contribute
+# O(df^2) candidate pairs on ONE shuffle key in the inverted-index self-join,
+# the classic skewed-key killer at web scale.  Capped shingles are dropped
+# from the similarity universe entirely (intersections AND set sizes), so
+# the semantics stay self-consistent and the DuckDB oracle mirrors exactly.
+MAX_SHINGLE_DF = 100
 # deterministic permutation constants, shared verbatim with the oracle SQL
 HASH_A = [(1103515245 * (i + 1)) % P31 for i in range(N_HASHES)]
 HASH_B = [(12345 * (i + 1) + 711) % P31 for i in range(N_HASHES)]
@@ -61,6 +68,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# one query's shared-branch caches at a time: entering a new dedup query
+# releases the previous query's, so a long session (bench loop, driver
+# sweep) never accumulates executor storage or "already cached" warnings
+_SCOPED_CACHE: list[DataFrame] = []
+
+
+def _scoped_clear() -> None:
+    while _SCOPED_CACHE:
+        _SCOPED_CACHE.pop().unpersist()
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    _SCOPED_CACHE.append(df)
+    return df.persist()
+
+
 def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest: one hash aggregate on md5(text)."""
     groups = (
@@ -84,13 +107,30 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped(ex: DataFrame, max_df: int) -> DataFrame:
+    """Drop stop shingles (document frequency > max_df) from the shingle
+    universe.  The hot set is tiny (boilerplate only), so the anti-join
+    broadcasts — the big relation never reshuffles for the cap."""
+    hot = (
+        ex.groupBy("sid").agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sid")
+    )
+    return ex.join(F.broadcast(hot), "sid", "left_anti")
+
+
 def jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join —
     the standard scalable set-similarity join (no cross product); the
-    join key is the 8-byte shingle hash, not the string."""
-    ex = _with_shingle_ids(spark, sf_dir, persist=True)
+    join key is the 8-byte shingle hash, not the string.  Stop shingles
+    (df > max_df) are removed before the self-join (prefix filtering),
+    bounding any one join key's candidate fan-out to max_df^2."""
+    _scoped_clear()
+    raw = _scoped_persist(_with_shingle_ids(spark, sf_dir))
+    ex = _scoped_persist(_capped(raw, max_df))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = ex.alias("a")
@@ -115,16 +155,14 @@ def jaccard_pairs(
     )
 
 
-def _with_shingle_ids(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+def _with_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sid): inline 56-bit deterministic shingle hash — no
     vocabulary, no global sort, no join; the plan is explode → project.
 
-    ``persist=True`` materializes the relation once when a consumer
-    references it from multiple join branches (Catalyst does not CSE
-    identical subtrees across self-joins, so without it the tokenize +
-    fold would run once per branch)."""
-    ids = _shingled(spark, sf_dir).select("doc_id", F.expr(_SID_EXPR).alias("sid"))
-    return ids.persist() if persist else ids
+    Consumers that reference this from multiple join branches wrap it in
+    ``_scoped_persist`` (Catalyst does not CSE identical subtrees across
+    self-joins, so without it the tokenize + fold runs once per branch)."""
+    return _shingled(spark, sf_dir).select("doc_id", F.expr(_SID_EXPR).alias("sid"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,13 +249,16 @@ def _shingled_sql(table: str) -> str:
     """
 
 
-def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                      max_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
         {_ids_sql(table)},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY 1),
+        hot AS (SELECT sid FROM ids GROUP BY sid HAVING COUNT(*) > {max_df}),
+        capped AS (SELECT * FROM ids WHERE sid NOT IN (SELECT sid FROM hot)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-          FROM ids a JOIN ids b ON a.sid = b.sid AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.sid = b.sid AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
@@ -279,18 +320,22 @@ def simhash_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 def training_corpus_filter(spark: SparkSession, sf_dir: str,
-                           threshold: float = 0.5) -> DataFrame:
+                           threshold: float = 0.5,
+                           max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """The canonical pretraining data pipeline as one plan:
 
       1. quality gate: drop short/thin documents;
       2. exact dedup: keep the lowest doc_id per content digest;
       3. near-dedup: among surviving docs, drop the higher doc_id of any
-         pair with shingle-Jaccard ≥ threshold.
+         pair with shingle-Jaccard ≥ threshold (stop shingles with
+         df > max_df removed first — prefix filtering, same as
+         ``jaccard_pairs``, so no single shuffle key fans out O(df²)).
 
     Output: the kept doc_ids with their dedup provenance. Every stage is
     a hash aggregate or inverted-index join — the same plan shapes run
     at 10^12 documents.
     """
+    _scoped_clear()
     docs = _docs(spark, sf_dir).where(
         (F.length("text") >= 200)
         & (F.expr("size(split(text, ' '))") >= 40)
@@ -303,11 +348,11 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     )
 
     survivors = docs.join(exact_kept, "doc_id", "left_semi")
-    ex = (
+    raw = _scoped_persist(
         survivors.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
         .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
-        .persist()
     )
+    ex = _scoped_persist(_capped(raw, max_df))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     near_pairs = (
@@ -328,7 +373,8 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     )
 
 
-def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5) -> str:
+def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
+                               max_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
         WITH quality AS (
           SELECT * FROM {table}
@@ -340,10 +386,12 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5)
                  WHERE doc_id IN (SELECT doc_id FROM exact_kept)),
         ex AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM toks),
         ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM ex),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY 1),
+        hot AS (SELECT sid FROM ids GROUP BY sid HAVING COUNT(*) > {max_df}),
+        capped AS (SELECT * FROM ids WHERE sid NOT IN (SELECT sid FROM hot)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
         near_dropped AS (
           SELECT DISTINCT b.doc_id
-          FROM ids a JOIN ids b ON a.sid = b.sid AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.sid = b.sid AND a.doc_id < b.doc_id
           JOIN sizes sa ON sa.doc_id = a.doc_id
           JOIN sizes sb ON sb.doc_id = b.doc_id
           GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
