@@ -271,6 +271,38 @@ def run_resumable(
     metrics_rollup(done, run_id).write.mode("append").parquet(metrics_path)
 
 
+def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
+    """Input data files from storage METADATA (Hadoop FileSystem
+    listStatus) — never a row scan.  In production this is the Iceberg
+    ``files`` snapshot metadata table (`SELECT file_path FROM t.files`);
+    the local analogue is a directory listing: both are O(#files)
+    metadata operations that touch zero data bytes."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
+
+
+def file_lineage_pages(spark: SparkSession, pending: list[str],
+                       manifest: DataFrame) -> DataFrame:
+    """Pages of the pending files with their lineage bucket attached via
+    a broadcast manifest join — the plan carries NO per-file literals,
+    so its size is independent of file count (SURVEY §9: 10^6-10^7 data
+    files).  The broadcast hash join keeps the plan shuffle-free."""
+    return (
+        spark.read.parquet(*pending)
+        .select(
+            "url", "html",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"),
+        )
+        .join(F.broadcast(manifest), "file_name")
+        .select("url", "html", "bucket")
+    )
+
+
 def run_resumable_by_file(
     spark: SparkSession,
     input_path: str,
@@ -281,9 +313,13 @@ def run_resumable_by_file(
     """Shuffle-free resumable job: lineage is keyed by *input file*.
 
     The unit of work is one input parquet file (an Iceberg data file in
-    production, where the file list comes from snapshot metadata): the
-    restart set is a set-difference on file names — pure metadata, and
-    the extraction plan is scan → mapInPandas with NO shuffle at all.
+    production): the file list comes from snapshot/storage metadata
+    (``list_input_files``), the restart set is a set-difference on file
+    names — pure metadata — and the extraction plan is scan → broadcast
+    manifest join → mapInPandas with NO shuffle at all.  File→bucket ids
+    travel as a small manifest DataFrame (at 10^7 files: read the
+    Iceberg ``files`` table instead of ``createDataFrame``), never as
+    ``create_map`` literals, so plan size is independent of file count.
     This is the preferred production shape; the bucket-shuffle variant
     (run_resumable) remains for url-hash-keyed lineage.
 
@@ -293,13 +329,7 @@ def run_resumable_by_file(
     """
     import posixpath
 
-    all_files = sorted(
-        r["file"]
-        for r in spark.read.parquet(input_path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
-        .collect()
-    )
+    all_files = list_input_files(spark, input_path)
     file_ids = {posixpath.basename(p): i for i, p in enumerate(all_files)}
 
     completed: set[str] = set()
@@ -313,30 +343,24 @@ def run_resumable_by_file(
     if not pending:
         return
 
-    # one job over all pending files; file identity travels as a column
-    mapping = F.create_map(
-        *[x for name, fid in file_ids.items() for x in (F.lit(name), F.lit(fid))]
+    manifest = spark.createDataFrame(
+        [(n, i) for n, i in file_ids.items() if n not in completed],
+        "file_name string, bucket int",
     )
-    pages = (
-        spark.read.parquet(*pending)
-        .select("url", "html")
-        .withColumn(
-            "bucket",
-            mapping[F.element_at(F.split(F.input_file_name(), "/"), -1)].cast("int"),
-        )
+
+    results = file_lineage_pages(spark, pending, manifest).mapInPandas(
+        extraction_kernel, RESULT_SCHEMA
     )
-    results = pages.mapInPandas(extraction_kernel, RESULT_SCHEMA)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     results.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 
-    id_to_name = {fid: name for name, fid in file_ids.items()}
-    done = spark.read.parquet(output_path).where(
-        F.col("bucket").isin([file_ids[posixpath.basename(p)] for p in pending])
+    # metrics only for the buckets finished this run: the manifest join is
+    # simultaneously the pending filter and the bucket→file_name mapping
+    done = spark.read.parquet(output_path).join(
+        F.broadcast(manifest.select("bucket")), "bucket"
     )
-    name_map = F.create_map(
-        *[x for fid, name in id_to_name.items() for x in (F.lit(fid), F.lit(name))]
-    )
-    metrics_rollup(done, run_id).withColumn(
-        "file_name", name_map[F.col("bucket")]
+    metrics_rollup(done, run_id).join(F.broadcast(manifest), "bucket").select(
+        "run_id", "bucket", "n_docs", "n_success", "n_failure",
+        "first_error", "kernel_ms", "file_name",
     ).write.mode("append").parquet(metrics_path)

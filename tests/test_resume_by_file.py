@@ -57,3 +57,34 @@ def test_resume_by_file(spark, tmp_path):
     a = sorted((r["url"], r["raw_json"]) for r in resumed.select("url", "raw_json").collect())
     b = sorted((r["url"], r["raw_json"]) for r in full.select("url", "raw_json").collect())
     assert a == b
+
+
+def test_file_lineage_plan_size_independent_of_file_count(spark, tmp_path):
+    """The file→bucket mapping must travel as a broadcast manifest, not
+    as per-file plan literals: the analyzed plan may not contain
+    create_map, and its printed size must not grow with the file count
+    (10^6-10^7 Iceberg data files at SURVEY §9 scale)."""
+    from pdf_extractor2_spark.plans.extract_job import (
+        file_lineage_pages,
+        list_input_files,
+    )
+
+    def build(n_files: int, name: str) -> str:
+        pages = corpus_df(spark, 4 * n_files, seed=5, pdf_share=0.0,
+                          num_partitions=n_files)
+        inp = str(tmp_path / name)
+        pages.write.parquet(inp)
+        files = list_input_files(spark, inp)
+        assert len(files) == n_files
+        manifest = spark.createDataFrame(
+            [(posixpath.basename(p), i) for i, p in enumerate(files)],
+            "file_name string, bucket int",
+        )
+        df = file_lineage_pages(spark, files, manifest)
+        return df._jdf.queryExecution().analyzed().toString()
+
+    small = build(2, "in2")
+    big = build(12, "in12")
+    assert "create_map" not in small and "create_map" not in big
+    # 6x the files must not mean a meaningfully bigger plan tree
+    assert len(big) < 1.5 * len(small), (len(small), len(big))
