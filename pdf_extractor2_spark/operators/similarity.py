@@ -58,14 +58,111 @@ def ann_cosine_topk(
     )
 
 
-def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 5
-) -> DataFrame:
-    """IVF-bucketed search: scan only the query's coarse cell (label)."""
+N_IVF_CELLS = 8
+EMB_DIMS = 64
+_IVF_INDEX_ROOT = "/root/repo/.ivf_index"
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by squared L2.  Since ||x||² is
+    constant per vector, argmin d² = argmin(||c||² − 2·x·c) — one dot
+    product per (vector, centroid), rounded so both engines agree; ties
+    break to the lowest cell id via lexicographic struct min."""
+    dot = _DOT.format(a="embedding", b="cvec")
+    nc = _DOT.format(a="cvec", b="cvec")
     return (
-        _cosine(_with_query(spark, sf_dir, query_vec_id))
-        .where((F.col("vec_id") != query_vec_id) & (F.col("label") == F.col("q_label")))
-        .select("vec_id", "label", "cos_sim")
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("score", F.expr(f"round(({nc}) - 2 * ({dot}), 6)"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("score"), F.col("cell"))).getField("cell").alias("cell")
+        )
+    )
+
+
+def ivf_cell_assignments(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    """Deterministic k-means quantizer (one Lloyd iteration):
+
+      1. seeds = the embeddings of the ``n_cells`` lowest vec_ids (fixed,
+         no RNG — restart- and engine-stable);
+      2. assign every vector to its nearest seed;
+      3. centroid update = per-cell, per-dimension mean (ONE distributed
+         aggregate), rounded to 6 decimals so Spark and DuckDB hold
+         bit-identical centroids;
+      4. final cell = nearest updated centroid.
+
+    Every step is a broadcast join or a hash aggregate — the same plan
+    runs at 10^9 vectors (assignment cost n·C dot products; real systems
+    block it as GEMM inside a pandas UDF, same shape)."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    a1 = _assign_cells(emb, seeds)
+    cents = (
+        a1.join(emb, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)"
+            ).alias("cvec")
+        )
+    )
+    return _assign_cells(emb, cents)
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_IVF_CELLS
+) -> str:
+    """Write embeddings PARTITIONED BY the quantizer cell — the storage
+    layout that lets a query scan only its probe cells (partition
+    pruning), which is what makes IVF a *pruned-scan* structure rather
+    than a full-scan filter.  Idempotent per (dataset, n_cells)."""
+    import os
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = f"{_IVF_INDEX_ROOT}/{key}_c{n_cells}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        emb = _emb(spark, sf_dir)
+        (
+            emb.join(ivf_cell_assignments(spark, sf_dir, n_cells), "vec_id")
+            .write.mode("overwrite").partitionBy("cell").parquet(path)
+        )
+    return path
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 5,
+    n_cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """IVF search: quantize → read ONLY the query's cell partition from
+    the cell-partitioned index (the scan's PartitionFilters prune every
+    other cell) → exact cosine top-k inside the cell.  The single
+    driver-side value is the query's own cell id — a query parameter,
+    like the query vector itself."""
+    path = build_ivf_index(spark, sf_dir, n_cells)
+    idx = spark.read.parquet(path)
+    q_row = idx.where(F.col("vec_id") == query_vec_id).select("cell", "embedding").first()
+    q_cell = q_row["cell"]
+
+    cell_rows = idx.where(F.col("cell") == q_cell)
+    q = (
+        cell_rows.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q"))
+    )
+    dot = _DOT.format(a="embedding", b="q")
+    na = _DOT.format(a="embedding", b="embedding")
+    nb = _DOT.format(a="q", b="q")
+    return (
+        cell_rows.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
@@ -207,11 +304,47 @@ def ann_cosine_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int
     """
 
 
-def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 5) -> str:
+def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 5,
+                     n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS) -> str:
+    """Mirrors the deterministic one-Lloyd-step quantizer exactly: same
+    seeds, same rounded assignment scores, same rounded per-dim centroid
+    means, same tie-breaks — so the cell partitioning (and therefore the
+    pruned search result) is identical across engines."""
     return f"""
-        {_cos_sql(table, query_vec_id)}
-        SELECT vec_id, label, cos_sim FROM scored
-        WHERE vec_id != {query_vec_id} AND label = q_label
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+        seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
+                  WHERE vec_id < {n_cells}),
+        s1 AS (SELECT vec_id, cell,
+                      round(list_dot_product(cvec, cvec)
+                            - 2 * list_dot_product(v, cvec), 6) AS score
+               FROM e CROSS JOIN seeds),
+        a1 AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY score, cell) AS rn
+                 FROM s1) WHERE rn = 1),
+        cent AS (SELECT cell, i, round(AVG(v[i]), 6) AS cval
+                 FROM a1 JOIN e USING (vec_id)
+                 CROSS JOIN generate_series(1, {dims}) t(i)
+                 GROUP BY cell, i),
+        cvecs AS (SELECT cell, list(cval ORDER BY i) AS cvec FROM cent GROUP BY cell),
+        s2 AS (SELECT vec_id, cell,
+                      round(list_dot_product(cvec, cvec)
+                            - 2 * list_dot_product(v, cvec), 6) AS score
+               FROM e CROSS JOIN cvecs),
+        a2 AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY score, cell) AS rn
+                 FROM s2) WHERE rn = 1),
+        q AS (SELECT e.v AS qv, a2.cell AS q_cell
+              FROM e JOIN a2 USING (vec_id) WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, a2.cell,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        FROM e JOIN a2 USING (vec_id) CROSS JOIN q
+        WHERE a2.cell = q.q_cell AND e.vec_id != {query_vec_id}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
     """
 

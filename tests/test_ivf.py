@@ -1,0 +1,50 @@
+"""IVF search structure: deterministic quantizer + cell-partitioned
+storage + partition-pruned probe scans (VERDICT r1 item 5).
+
+The point of IVF at 10^9 vectors is that a probe reads ONLY its cell's
+files — storage-level pruning, not a full-scan filter.  These tests pin
+that property on the physical plan, and the quantizer's determinism
+(the DuckDB oracle twin re-derives the identical cells; see
+tests/test_entry.py for the value-level pairing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extractor2_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark):
+    df = similarity.ann_ivf_topk(spark, SF_DIR, query_vec_id=0, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    # the probe must carry an equality filter on the cell partition column
+    assert any("cell" in l and "=" in l.split("PartitionFilters", 1)[1][:120]
+               for l in pf_lines), pf_lines
+    # and the scan must read the cell-partitioned index, not the raw table
+    assert ".ivf_index" in plan
+
+
+def test_ivf_index_build_is_idempotent(spark):
+    path = similarity.build_ivf_index(spark, SF_DIR)
+    marker = f"{path}/_SUCCESS"
+    mtime = os.path.getmtime(marker)
+    assert path == similarity.build_ivf_index(spark, SF_DIR)
+    assert os.path.getmtime(marker) == mtime  # no rewrite on reuse
+
+
+def test_ivf_cells_partition_all_vectors(spark):
+    cells = similarity.ivf_cell_assignments(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    assert cells.count() == n  # every vector gets exactly one cell
+    dist = cells.groupBy("cell").count().collect()
+    assert len(dist) > 1  # the quantizer actually splits the space
+    assert sum(r["count"] for r in dist) == n
+    assert {r["cell"] for r in dist} <= set(range(similarity.N_IVF_CELLS))
