@@ -51,11 +51,15 @@ _SID_SQL = (
     f" (acc, c) -> (acc * 127 + c) % {P56})"
 )
 
+# tokenize ONCE into a projected column, then index it: inlining
+# split(text) inside the transform lambda re-splits per position —
+# O(tokens²) per document, measured 3-4x the whole query's runtime
+_TOKS_EXPR = "split(text, ' ')"
 _SHINGLE_EXPR = (
-    "case when size(split(text, ' ')) < 3 then array()"
-    " else array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-    " i -> concat_ws(' ', element_at(split(text, ' '), i + 1),"
-    " element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3)))) end"
+    "case when size(toks) < 3 then array()"
+    " else array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', element_at(toks, i + 1),"
+    " element_at(toks, i + 2), element_at(toks, i + 3)))) end"
 )
 
 _SHINGLE_SQL = (
@@ -99,46 +103,81 @@ def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a scan across all cores IF the source under-partitions
+    (single-row-group parquet collapses to one split and would serialize
+    the CPU-heavy shingle fold on one task).  At production scale the
+    input has thousands of splits, the condition is false, and NO
+    shuffle is added — this only rescues pathological small layouts."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, "doc_id")
+    return df
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct 3-gram shingles."""
     return (
-        _docs(spark, sf_dir)
+        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
     )
 
 
-def _capped(ex: DataFrame, max_df: int) -> DataFrame:
-    """Drop stop shingles (document frequency > max_df) from the shingle
-    universe.  The hot set is tiny (boilerplate only), so the anti-join
-    broadcasts — the big relation never reshuffles for the cap."""
-    hot = (
-        ex.groupBy("sid").agg(F.count("*").alias("df"))
-        .where(F.col("df") > max_df)
-        .select("sid")
+# (a, i) -> pairs (a, b) for all later b in the sorted, duplicate-free
+# doc list: candidate pairs explode JVM-side from each shingle's posting
+# list — no self-join, no second shuffle of the full edge list
+_PAIR_EXPR = (
+    "flatten(transform(docs, (a, i) ->"
+    " transform(slice(docs, i + 2, size(docs) - i - 1),"
+    " b -> named_struct('doc_a', a, 'doc_b', b))))"
+)
+
+
+def _groups_from(raw: DataFrame, max_df: int) -> DataFrame:
+    """Posting lists: (sid, sorted docs array), stop shingles dropped.
+
+    ONE aggregate is simultaneously the inverted index, the document-
+    frequency computation and the cap (prefix filtering): a posting list
+    longer than max_df is boilerplate and is discarded whole, so no
+    downstream key can fan out more than C(max_df, 2) pairs.  Lists are
+    bounded by the cap, so collect_list cannot skew a reducer."""
+    return (
+        raw.groupBy("sid")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") <= max_df)
     )
-    return ex.join(F.broadcast(hot), "sid", "left_anti")
+
+
+def _pairs_from_groups(ok: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs, one row per shared shingle."""
+    return (
+        ok.where(F.size("docs") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
 
 
 def jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join —
-    the standard scalable set-similarity join (no cross product); the
-    join key is the 8-byte shingle hash, not the string.  Stop shingles
-    (df > max_df) are removed before the self-join (prefix filtering),
-    bounding any one join key's candidate fan-out to max_df^2."""
+    """Exact n-gram Jaccard near-dup pairs via inverted posting lists —
+    the standard scalable set-similarity join (no cross product): group
+    shingles into per-sid doc lists (stop shingles with df > max_df
+    dropped — prefix filtering), explode bounded candidate pairs, count
+    shared shingles per pair, then score against per-doc set sizes.
+    Three hash aggregates and two small joins; no self-join shuffle of
+    the full edge list, and no key can fan out more than C(max_df, 2)."""
     _scoped_clear()
-    raw = _scoped_persist(_with_shingle_ids(spark, sf_dir))
-    ex = _scoped_persist(_capped(raw, max_df))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-
-    a = ex.alias("a")
-    b = ex.alias("b")
+    ok = _scoped_persist(_groups_from(_with_shingle_ids(spark, sf_dir), max_df))
+    sizes = (
+        ok.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    )
     inter = (
-        a.join(b, (F.col("a.sid") == F.col("b.sid"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _pairs_from_groups(ok)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -347,18 +386,20 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         .select("doc_id", "n_exact_dups")
     )
 
-    survivors = docs.join(exact_kept, "doc_id", "left_semi")
-    raw = _scoped_persist(
-        survivors.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+    survivors = _spread(spark, docs.join(exact_kept, "doc_id", "left_semi"))
+    raw = (
+        survivors.select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
         .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
     )
-    ex = _scoped_persist(_capped(raw, max_df))
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
+    ok = _scoped_persist(_groups_from(raw, max_df))
+    sizes = (
+        ok.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
     near_pairs = (
-        a.join(b, (F.col("a.sid") == F.col("b.sid"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _pairs_from_groups(ok)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")

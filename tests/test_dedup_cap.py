@@ -1,11 +1,11 @@
 """Stop-shingle document-frequency cap (prefix filtering).
 
 At web scale a boilerplate shingle shared by df documents lands df rows
-on ONE shuffle key of the inverted-index self-join and fans out O(df²)
-candidate pairs — the classic skewed-key killer.  The cap drops shingles
-with df > MAX_SHINGLE_DF from the similarity universe before the join;
-these tests prove the bound with an injected hot shingle and that the
-capped semantics still match the DuckDB oracle exactly.
+on ONE shuffle key of the inverted index and fans out O(df²) candidate
+pairs — the classic skewed-key killer.  The cap drops posting lists
+longer than MAX_SHINGLE_DF before pair generation; these tests prove
+the bound with an injected hot shingle and that the capped semantics
+still match the DuckDB oracle exactly.
 """
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from pyspark.sql import functions as F
 
 from pdf_extractor2_spark.operators import dedup
 
@@ -44,24 +43,22 @@ def hot_dir(tmp_path_factory):
     return str(d)
 
 
-def _candidates(ex) -> int:
-    a, b = ex.alias("a"), ex.alias("b")
-    return a.join(
-        b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).count()
-
-
 def test_hot_shingle_candidates_bounded(spark, hot_dir):
     raw = dedup._with_shingle_ids(spark, hot_dir)
-    uncapped = _candidates(raw)
-    capped = _candidates(dedup._capped(raw, dedup.MAX_SHINGLE_DF))
+    uncapped = dedup._pairs_from_groups(
+        dedup._groups_from(raw, max_df=10**9)
+    ).count()
+    capped = dedup._pairs_from_groups(
+        dedup._groups_from(raw, max_df=dedup.MAX_SHINGLE_DF)
+    ).count()
     # without the cap the single hot shingle alone contributes C(150,2)
     assert uncapped >= N_HOT * (N_HOT - 1) // 2
     # with the cap only the genuine near-dup pair's rare shingles remain
     assert capped <= 10, capped
-    # the df threshold itself is respected: a shingle at df == cap survives
-    survivors = dedup._capped(raw, N_HOT).select("sid").distinct().count()
-    assert survivors > dedup._capped(raw, dedup.MAX_SHINGLE_DF).select("sid").distinct().count()
+    # the df threshold is inclusive: a posting list at df == cap survives
+    at_cap = dedup._groups_from(raw, max_df=N_HOT).count()
+    below_cap = dedup._groups_from(raw, max_df=dedup.MAX_SHINGLE_DF).count()
+    assert at_cap == below_cap + 1  # exactly the hot shingle's list returns
 
 
 def test_capped_jaccard_pairs_drop_hot_only(spark, hot_dir):
@@ -84,11 +81,19 @@ def test_capped_jaccard_matches_duckdb(spark, hot_dir):
     assert srows == drows and srows  # non-empty and identical
 
 
-def test_cap_anti_join_broadcasts(spark, hot_dir):
-    """The hot-shingle set is tiny; dropping it must be a broadcast
-    anti-join — the big shingle relation never reshuffles for the cap."""
+def test_jaccard_candidates_come_from_posting_lists_not_self_join(spark, hot_dir):
+    """Candidate generation must be posting-list explosion, not a
+    self-join of the full edge list: the plan's only joins are the two
+    small per-doc size joins, and there is no cartesian anywhere."""
     plan = (
-        dedup._capped(dedup._with_shingle_ids(spark, hot_dir), dedup.MAX_SHINGLE_DF)
+        dedup.jaccard_pairs(spark, hot_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 2, plan
+    assert "Generate explode" in plan  # the pair explosion is in the plan
