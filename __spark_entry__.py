@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe,
         "embedding_label_norms": similarity.label_centroid_norms,
         "dedup_embedding_cosine": similarity.embedding_near_dup_pairs,
     }
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus_filter": dedup.training_corpus_filter_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
+        "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe_sql(),
         "embedding_label_norms": similarity.label_centroid_norms_sql(),
         "dedup_embedding_cosine": similarity.embedding_near_dup_pairs_sql(),
     }

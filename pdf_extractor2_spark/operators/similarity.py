@@ -80,9 +80,9 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def ivf_cell_assignments(
+def _ivf_model(
     spark: SparkSession, sf_dir: str, n_cells: int = N_IVF_CELLS
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means quantizer (one Lloyd iteration):
 
       1. seeds = the embeddings of the ``n_cells`` lowest vec_ids (fixed,
@@ -93,6 +93,7 @@ def ivf_cell_assignments(
          bit-identical centroids;
       4. final cell = nearest updated centroid.
 
+    Returns (assignments (vec_id, cell), centroids (cell, cvec)).
     Every step is a broadcast join or a hash aggregate — the same plan
     runs at 10^9 vectors (assignment cost n·C dot products; real systems
     block it as GEMM inside a pandas UDF, same shape)."""
@@ -113,7 +114,13 @@ def ivf_cell_assignments(
             ).alias("cvec")
         )
     )
-    return _assign_cells(emb, cents)
+    return _assign_cells(emb, cents), cents
+
+
+def ivf_cell_assignments(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    return _ivf_model(spark, sf_dir, n_cells)[0]
 
 
 def build_ivf_index(
@@ -122,15 +129,17 @@ def build_ivf_index(
     """Write embeddings PARTITIONED BY the quantizer cell — the storage
     layout that lets a query scan only its probe cells (partition
     pruning), which is what makes IVF a *pruned-scan* structure rather
-    than a full-scan filter.  Idempotent per (dataset, n_cells)."""
+    than a full-scan filter — plus the centroid table next to it (the
+    probe-ranking model).  Idempotent per (dataset, n_cells)."""
     import os
 
     key = sf_dir.strip("/").replace("/", "_")
     path = f"{_IVF_INDEX_ROOT}/{key}_c{n_cells}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        emb = _emb(spark, sf_dir)
+        cells, cents = _ivf_model(spark, sf_dir, n_cells)
+        cents.write.mode("overwrite").parquet(f"{path}_centroids")
         (
-            emb.join(ivf_cell_assignments(spark, sf_dir, n_cells), "vec_id")
+            _emb(spark, sf_dir).join(cells, "vec_id")
             .write.mode("overwrite").partitionBy("cell").parquet(path)
         )
     return path
@@ -138,23 +147,35 @@ def build_ivf_index(
 
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 5,
-    n_cells: int = N_IVF_CELLS,
+    n_cells: int = N_IVF_CELLS, n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search: quantize → read ONLY the query's cell partition from
-    the cell-partitioned index (the scan's PartitionFilters prune every
-    other cell) → exact cosine top-k inside the cell.  The single
-    driver-side value is the query's own cell id — a query parameter,
-    like the query vector itself."""
+    """IVF search: rank cells by centroid distance to the query, read
+    ONLY the top ``n_probe`` cell partitions from the cell-partitioned
+    index (the scan's PartitionFilters prune every other cell) → exact
+    cosine top-k inside the probed cells.  ``n_probe`` is the
+    recall/cost knob (n_probe == n_cells ⇒ exact brute force).  The
+    only driver-side values are the probe cell ids — O(n_probe) query
+    parameters, like the query vector itself."""
     path = build_ivf_index(spark, sf_dir, n_cells)
     idx = spark.read.parquet(path)
-    q_row = idx.where(F.col("vec_id") == query_vec_id).select("cell", "embedding").first()
-    q_cell = q_row["cell"]
-
-    cell_rows = idx.where(F.col("cell") == q_cell)
     q = (
-        cell_rows.where(F.col("vec_id") == query_vec_id)
+        idx.where(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("q"))
     )
+
+    cents = spark.read.parquet(f"{path}_centroids")
+    cdot = _DOT.format(a="cvec", b="q")
+    cnorm = _DOT.format(a="cvec", b="cvec")
+    probe_cells = [
+        r["cell"]
+        for r in cents.crossJoin(F.broadcast(q))
+        .withColumn("score", F.expr(f"round(({cnorm}) - 2 * ({cdot}), 6)"))
+        .orderBy("score", "cell")
+        .limit(n_probe)
+        .collect()
+    ]
+
+    cell_rows = idx.where(F.col("cell").isin(probe_cells))
     dot = _DOT.format(a="embedding", b="q")
     na = _DOT.format(a="embedding", b="embedding")
     nb = _DOT.format(a="q", b="q")
@@ -166,6 +187,13 @@ def ann_ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ann_ivf_multiprobe(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 5,
+) -> DataFrame:
+    """IVF with 3 probe cells — the recall knob exercised."""
+    return ann_ivf_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, n_probe=3)
 
 
 # measured at sf0.01 vs ground truth (cos >= 0.35): 8 bands x 5 sign dims
@@ -305,11 +333,13 @@ def ann_cosine_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int
 
 
 def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 5,
-                     n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS) -> str:
+                     n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS,
+                     n_probe: int = 1) -> str:
     """Mirrors the deterministic one-Lloyd-step quantizer exactly: same
     seeds, same rounded assignment scores, same rounded per-dim centroid
-    means, same tie-breaks — so the cell partitioning (and therefore the
-    pruned search result) is identical across engines."""
+    means, same tie-breaks, same probe-cell ranking — so the cell
+    partitioning (and therefore the pruned search result) is identical
+    across engines."""
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
         seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
@@ -337,16 +367,26 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY score, cell) AS rn
                  FROM s2) WHERE rn = 1),
-        q AS (SELECT e.v AS qv, a2.cell AS q_cell
-              FROM e JOIN a2 USING (vec_id) WHERE vec_id = {query_vec_id})
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+        probe AS (SELECT cell FROM (
+                    SELECT c.cell,
+                           round(list_dot_product(c.cvec, c.cvec)
+                                 - 2 * list_dot_product(q.qv, c.cvec), 6) AS score
+                    FROM cvecs c CROSS JOIN q)
+                  ORDER BY score, cell LIMIT {n_probe})
         SELECT e.vec_id, a2.cell,
                round(list_dot_product(e.v, q.qv)
                      / (sqrt(list_dot_product(e.v, e.v))
                         * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
         FROM e JOIN a2 USING (vec_id) CROSS JOIN q
-        WHERE a2.cell = q.q_cell AND e.vec_id != {query_vec_id}
+        WHERE a2.cell IN (SELECT cell FROM probe) AND e.vec_id != {query_vec_id}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
     """
+
+
+def ann_ivf_multiprobe_sql(table: str = "embeddings", query_vec_id: int = 0,
+                           k: int = 5) -> str:
+    return ann_ivf_topk_sql(table, query_vec_id, k, n_probe=3)
 
 
 def label_centroid_norms_sql(table: str = "embeddings") -> str:

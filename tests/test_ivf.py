@@ -39,6 +39,28 @@ def test_ivf_index_build_is_idempotent(spark):
     assert os.path.getmtime(marker) == mtime  # no rewrite on reuse
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe == n_cells must reproduce exact brute-force top-k — the
+    recall knob's endpoint is exactness."""
+    ivf_all = similarity.ann_ivf_topk(
+        spark, SF_DIR, query_vec_id=0, k=5, n_probe=similarity.N_IVF_CELLS
+    ).collect()
+    brute = similarity.ann_cosine_topk(spark, SF_DIR, query_vec_id=0, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf_all] == [
+        (r["vec_id"], r["cos_sim"]) for r in brute
+    ]
+
+
+def test_ivf_multiprobe_recall_at_least_single_probe(spark):
+    brute = {r["vec_id"] for r in
+             similarity.ann_cosine_topk(spark, SF_DIR, query_vec_id=0, k=5).collect()}
+    one = {r["vec_id"] for r in
+           similarity.ann_ivf_topk(spark, SF_DIR, query_vec_id=0, k=5).collect()}
+    three = {r["vec_id"] for r in
+             similarity.ann_ivf_multiprobe(spark, SF_DIR, query_vec_id=0, k=5).collect()}
+    assert len(three & brute) >= len(one & brute)
+
+
 def test_ivf_cells_partition_all_vectors(spark):
     cells = similarity.ivf_cell_assignments(spark, SF_DIR)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
