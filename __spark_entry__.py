@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
+        "dedup_groups": dedup.dedup_groups,
         "training_corpus_filter": dedup.training_corpus_filter,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "dedup_groups": dedup.dedup_groups_sql(),
         "training_corpus_filter": dedup.training_corpus_filter_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),

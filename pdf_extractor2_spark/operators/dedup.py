@@ -266,6 +266,86 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+                 max_iters: int = 50) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every
+    document in a component gets ``group_id`` = the component's minimum
+    doc_id — the canonical "keep one representative per duplicate
+    cluster" operator (transitive closure of pairwise near-dup, which
+    pairwise filtering alone cannot express).
+
+    Iterative min-label propagation: label(v) ← min(label(v), min label
+    over neighbors) until fixpoint.  Each sweep is one join + one hash
+    aggregate; near-dup components are tiny (bounded by the shingle df
+    cap upstream), so convergence takes O(log(diameter)) ≈ 2-4 sweeps.
+    The only driver-side value per sweep is the changed-row count — the
+    same shape GraphX/GraphFrames use for Pregel supersteps."""
+    pairs = jaccard_pairs(spark, sf_dir, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges.d == labels.doc_id)
+                .groupBy("s").agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.doc_id == nbr.s, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # localCheckpoint materializes the converged labels on the
+        # executors and truncates the per-sweep join lineage — the
+        # distributed equivalent of "collect and rebuild", valid at any
+        # label-table size; the loop caches can then be released
+        return (
+            labels.select("doc_id", F.col("label").alias("group_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
+def dedup_groups_sql(table: str = "documents", threshold: float = 0.5,
+                     max_df: int = MAX_SHINGLE_DF) -> str:
+    """Recursive-CTE transitive closure, min per reachable set — the
+    exact fixpoint the propagation loop converges to."""
+    pairs_query = jaccard_pairs_sql(table, threshold, max_df)
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_query}) q),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT s AS node, s AS r FROM (SELECT DISTINCT s FROM edges) n
+          UNION
+          SELECT reach.node, edges.d FROM reach JOIN edges ON edges.s = reach.r
+        )
+        SELECT node AS doc_id, MIN(r) AS group_id FROM reach GROUP BY node
+    """
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle texts (constants inlined so both engines share arithmetic)
 # ---------------------------------------------------------------------------

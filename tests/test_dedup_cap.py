@@ -81,6 +81,51 @@ def test_capped_jaccard_matches_duckdb(spark, hot_dir):
     assert srows == drows and srows  # non-empty and identical
 
 
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    """A~B (0.778) and B~C (0.6) but A!~C (0.455 < 0.5): connected
+    components must still place all three in one group."""
+    d = tmp_path_factory.mktemp("chain")
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (2, "x1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (3, "x1 w2 w3 w4 w5 w6 w7 w8 y9 y10"),
+        (9, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),  # isolated: no pairs
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_groups_transitive_closure(spark, chain_dir):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.jaccard_pairs(spark, chain_dir).collect()}
+    assert pairs == {(1, 2), (2, 3)}  # A-C not pairwise similar
+    groups = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in dedup.dedup_groups(spark, chain_dir).collect()
+    )
+    # transitive closure pulls doc 3 into group 1 despite no (1,3) pair;
+    # the isolated doc 9 has no near-dups and is absent
+    assert groups == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_dedup_groups_matches_duckdb(spark, chain_dir):
+    got = sorted(
+        (r["doc_id"], r["group_id"])
+        for r in dedup.dedup_groups(spark, chain_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{chain_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(dedup.dedup_groups_sql()).fetchall())
+    assert got == want
+
+
 def test_jaccard_candidates_come_from_posting_lists_not_self_join(spark, hot_dir):
     """Candidate generation must be posting-list explosion, not a
     self-join of the full edge list: the plan's only joins are the two
