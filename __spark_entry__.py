@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textstats.fingerprints,
         "lang_id": textstats.lang_id,
         "top_tokens": textstats.top_tokens,
+        "distinct_shingles_kmv": textstats.distinct_shingles_kmv,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textstats.fingerprints_sql(),
         "lang_id": textstats.lang_id_sql(),
         "top_tokens": textstats.top_tokens_sql(),
+        "distinct_shingles_kmv": textstats.distinct_shingles_kmv_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

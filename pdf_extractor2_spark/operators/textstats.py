@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MOD = 1_000_000_007
+P56 = 72_057_594_037_927_931  # shared 56-bit fold modulus (operators/dedup.py)
+KMV_K = 256
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +169,53 @@ def lang_id_sql(table: str = "documents") -> str:
                          >= len(string_split(text, ' '))
                     THEN 'en' ELSE 'und' END AS pred_lang
         FROM {table}
+    """
+
+
+def distinct_shingles_kmv(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """Corpus-wide distinct 3-gram-shingle cardinality via a
+    K-Minimum-Values sketch — the sketch family (à la HLL) done
+    DETERMINISTICALLY so a second engine reproduces the estimate
+    bit-for-bit (HLL++ cannot be oracle-checked; KMV over a shared
+    integer hash can).
+
+    Estimator: with h_(k) the k-th smallest distinct hash on [0, M),
+    estimate = (k-1) · M / h_(k).  The plan is explode → hash →
+    distinct (one shuffle) → TakeOrdered(k) (map-side partial top-k,
+    driver merges k·partitions values — bounded, no global sort).  The
+    exact count rides along as one extra aggregate so the result row
+    exhibits the sketch's error.  The hash universe is the 56-bit
+    shingle fold shared with the dedup family."""
+    from .dedup import _with_shingle_ids
+
+    dh = _with_shingle_ids(spark, sf_dir).select(F.col("sid").alias("h")).distinct()
+    sketch = dh.orderBy("h").limit(k).agg(
+        F.max("h").alias("kth_min_h"), F.count("*").alias("k_used")
+    )
+    exact = dh.agg(F.count("*").alias("n_exact_distinct"))
+    return sketch.crossJoin(exact).select(
+        "n_exact_distinct", "k_used", "kth_min_h",
+        F.expr(
+            f"round(case when k_used < {k} then cast(n_exact_distinct as double)"
+            f" else ((k_used - 1) * {P56}.0D) / kth_min_h end, 2)"
+        ).alias("kmv_estimate"),
+    )
+
+
+def distinct_shingles_kmv_sql(table: str = "documents", k: int = KMV_K) -> str:
+    from .dedup import _ids_sql
+
+    return f"""
+        {_ids_sql(table)},
+        h AS (SELECT DISTINCT sid AS h FROM ids),
+        topk AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+        sk AS (SELECT MAX(h) AS kth_min_h, COUNT(*) AS k_used FROM topk),
+        exact_ct AS (SELECT COUNT(*) AS n_exact_distinct FROM h)
+        SELECT n_exact_distinct, k_used, kth_min_h,
+               round(CASE WHEN k_used < {k} THEN CAST(n_exact_distinct AS DOUBLE)
+                          ELSE ((k_used - 1) * {P56}.0) / kth_min_h END, 2)
+                 AS kmv_estimate
+        FROM sk CROSS JOIN exact_ct
     """
 
 
