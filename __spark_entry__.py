@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_customer_revenue": relational.running_customer_revenue,
         "asof_last_click": relational.asof_last_click,
         "range_join_nearby_events": relational.range_join_nearby_events,
+        "events_pivot": relational.events_pivot,
+        "price_percentiles": relational.price_percentiles,
+        "stratified_sample": relational.stratified_sample,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -200,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
         "running_customer_revenue": relational.running_customer_revenue_sql(),
         "asof_last_click": relational.asof_last_click_sql(),
         "range_join_nearby_events": relational.range_join_nearby_events_sql(),
+        "events_pivot": relational.events_pivot_sql(),
+        "price_percentiles": relational.price_percentiles_sql(),
+        "stratified_sample": relational.stratified_sample_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),

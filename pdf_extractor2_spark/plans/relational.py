@@ -513,3 +513,135 @@ def activity_cube_sql() -> str:
         FROM events
         GROUP BY CUBE (event_type, strftime(ts, '%a'))
     """
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type.  With
+    the pivot values supplied explicitly Catalyst compiles this to a
+    single hash aggregate of conditional counts — no second pass to
+    discover the column set, no extra shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .select("user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES])
+    )
+
+
+def events_pivot_sql() -> str:
+    cols = ",\n".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id, {cols}
+        FROM events GROUP BY user_id
+    """
+
+
+def _pct_row_exprs(p10: int, tag: str) -> tuple[str, str]:
+    """Per-row target index and fraction for percentile p = p10/10 over
+    a group of n ranked values (0-based position p·(n−1)).  INTEGER
+    arithmetic end-to-end (x = p10·(n−1); lo = x div 10; frac = (x mod
+    10)/10) so both engines derive identical values — the engines'
+    percentile built-ins interpolate with differently-associated float
+    ops and can disagree by 1 ulp exactly on a rounding boundary."""
+    x = f"({p10} * (n - 1))"
+    lo = f"CAST(({x} - ({x} % 10)) / 10 AS BIGINT) AS lo{tag}"
+    frac = f"CAST(({x} % 10) AS DOUBLE) / 10.0 AS frac{tag}"
+    return lo, frac
+
+
+def _pct_agg_expr(tag: str, alias: str) -> str:
+    v_lo = f"MAX(CASE WHEN r = lo{tag} THEN v END)"
+    v_hi = f"MAX(CASE WHEN r = lo{tag} + 1 THEN v END)"
+    val = f"({v_lo} + coalesce(({v_hi} - {v_lo}) * MAX(frac{tag}), 0.0))"
+    # floor(x*100 + 0.5)/100 instead of round(x, 2): on a halfway double
+    # Spark rounds the exact binary value while DuckDB rounds the
+    # shortest decimal repr — floor arithmetic is IEEE-identical in both
+    # (literals cast explicitly: bare 100.0 parses as DECIMAL in DuckDB)
+    return (
+        f"floor({val} * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST(100 AS DOUBLE) AS {alias}"
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per return flag,
+    written as rank-pick + linear interpolation with the identical
+    expression text as the DuckDB oracle (bit-identical doubles).
+    Exact percentile ranks within each group — at 10^12 rows switch to
+    `approx_percentile` (t-digest) or pre-aggregate; the plan shape
+    (window + hash aggregate) is the same."""
+    lo50, frac50 = _pct_row_exprs(5, "50")
+    lo90, frac90 = _pct_row_exprs(9, "90")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.withColumn("r", F.row_number().over(wp.orderBy("v")) - 1)
+        .withColumn("n", F.count("*").over(wp))
+        .selectExpr("l_returnflag", "v", "CAST(r AS BIGINT) AS r",
+                    lo50, frac50, lo90, frac90)
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.expr(_pct_agg_expr("50", "p50_price")),
+        F.expr(_pct_agg_expr("90", "p90_price")),
+        F.count("*").alias("n_items"),
+    )
+
+
+def price_percentiles_sql() -> str:
+    lo50, frac50 = _pct_row_exprs(5, "50")
+    lo90, frac90 = _pct_row_exprs(9, "90")
+    return f"""
+        WITH base AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 CAST(row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice) - 1 AS BIGINT) AS r,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem),
+        ranked AS (SELECT l_returnflag, v, r, {lo50}, {frac50}, {lo90}, {frac90}
+                   FROM base)
+        SELECT l_returnflag,
+               {_pct_agg_expr("50", "p50_price")},
+               {_pct_agg_expr("90", "p90_price")},
+               COUNT(*) AS n_items
+        FROM ranked GROUP BY l_returnflag
+    """
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str, per_lang: int = 20) -> DataFrame:
+    """Deterministic stratified sampling: the first ``per_lang``
+    documents per language in pseudo-random hash order — reproducible
+    across engines and runs (no RNG state), the sampling primitive a
+    training-data pipeline needs for eval splits.  One window per
+    stratum; at web scale with few strata, pre-filter candidates by a
+    hash threshold before ranking (or sample within partitions and
+    re-rank) to keep any single stratum's sort bounded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_lang)
+        .select("doc_id", "lang")
+    )
+
+
+def stratified_sample_sql(per_lang: int = 20) -> str:
+    return f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= {per_lang}
+    """
