@@ -61,6 +61,7 @@ def ann_cosine_topk(
 N_IVF_CELLS = 8
 EMB_DIMS = 64
 _IVF_INDEX_ROOT = "/root/repo/.ivf_index"
+_IVF_VERSION = 2  # bump when the quantizer arithmetic changes
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -130,11 +131,17 @@ def build_ivf_index(
     layout that lets a query scan only its probe cells (partition
     pruning), which is what makes IVF a *pruned-scan* structure rather
     than a full-scan filter — plus the centroid table next to it (the
-    probe-ranking model).  Idempotent per (dataset, n_cells)."""
+    probe-ranking model).  Idempotent per (dataset CONTENT, quantizer
+    version, n_cells): the cache key fingerprints the source file's
+    mtime+size and the quantizer code version, so regenerated testdata
+    or a changed quantizer can never serve a stale index."""
     import os
 
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
     key = sf_dir.strip("/").replace("/", "_")
-    path = f"{_IVF_INDEX_ROOT}/{key}_c{n_cells}"
+    path = f"{_IVF_INDEX_ROOT}/{key}_c{n_cells}_v{_IVF_VERSION}_{fingerprint}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         cells, cents = _ivf_model(spark, sf_dir, n_cells)
         cents.write.mode("overwrite").parquet(f"{path}_centroids")
