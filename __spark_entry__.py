@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": relational.asof_last_click,
         "range_join_nearby_events": relational.range_join_nearby_events,
         "events_pivot": relational.events_pivot,
+        "salted_join_user_segments": relational.salted_join_user_segments,
         "price_percentiles": relational.price_percentiles,
         "stratified_sample": relational.stratified_sample,
         # text analysis
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": relational.asof_last_click_sql(),
         "range_join_nearby_events": relational.range_join_nearby_events_sql(),
         "events_pivot": relational.events_pivot_sql(),
+        "salted_join_user_segments": relational.salted_join_user_segments_sql(),
         "price_percentiles": relational.price_percentiles_sql(),
         "stratified_sample": relational.stratified_sample_sql(),
         "token_stats": textstats.token_stats_sql(),

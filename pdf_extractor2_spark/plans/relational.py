@@ -645,3 +645,44 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
           FROM documents)
         WHERE rn <= {per_lang}
     """
+
+
+def salted_join_user_segments(spark: SparkSession, sf_dir: str,
+                              n_salts: int = 8) -> DataFrame:
+    """Skew-salted shuffle join, made explicit (north_rule: "partitioning
+    / shuffle / skew handled explicitly"): the fact side (events) gets a
+    deterministic salt so one hot user_id spreads over ``n_salts``
+    shuffle keys; the dimension side is replicated once per salt value
+    (explode of a literal sequence — n_salts× the SMALL side, never the
+    fact side).  The join result is provably identical to the unsalted
+    join, so the DuckDB oracle is simply the plain join — salting is a
+    physical rewrite, not a semantic one.  The merge hint forces a
+    shuffle join (a broadcast would make salting moot here; at real
+    scale the dim is too big to broadcast, which is when salting
+    matters)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .hint("merge")
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def salted_join_user_segments_sql() -> str:
+    return """
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               round(SUM(value), 2) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """

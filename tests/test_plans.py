@@ -93,6 +93,33 @@ def test_whole_stage_codegen_active(spark):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_salted_join_equals_plain_join_and_shuffles(spark):
+    """The salted join is a physical rewrite only: results identical to
+    the plain join, the physical plan is a shuffle join (not broadcast)
+    keyed on (key, salt)."""
+    from pdf_extractor2_spark.plans.relational import salted_join_user_segments
+
+    sf = "/root/testdata/sf0.001"
+    df = salted_join_user_segments(spark, sf)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "salt" in plan
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a == b and a
+
+
 def test_dedup_plans_have_no_cartesian_product(spark):
     """The similarity/dedup family must never degenerate into a cross
     product — candidate pairs come from inverted-index or bucket joins."""
