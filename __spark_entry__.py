@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_nearby_events": relational.range_join_nearby_events,
         "events_pivot": relational.events_pivot,
         "salted_join_user_segments": relational.salted_join_user_segments,
+        "bloom_semi_join_orders": relational.bloom_semi_join_orders,
         "price_percentiles": relational.price_percentiles,
         "stratified_sample": relational.stratified_sample,
         # text analysis
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_nearby_events": relational.range_join_nearby_events_sql(),
         "events_pivot": relational.events_pivot_sql(),
         "salted_join_user_segments": relational.salted_join_user_segments_sql(),
+        "bloom_semi_join_orders": relational.bloom_semi_join_orders_sql(),
         "price_percentiles": relational.price_percentiles_sql(),
         "stratified_sample": relational.stratified_sample_sql(),
         "token_stats": textstats.token_stats_sql(),

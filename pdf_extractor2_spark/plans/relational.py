@@ -686,3 +686,85 @@ def salted_join_user_segments_sql() -> str:
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """
+
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions(col: str):
+    """K deterministic bit positions for a key: xxhash64 with K seeds."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_build(keys: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame holding the Bloom filter as map<word_idx, word>,
+    built with a single bit_or aggregate over the key set."""
+    return (
+        keys.select(F.explode(F.array(*_bloom_positions(col))).alias("p"))
+        .select(
+            F.expr("CAST(p DIV 64 AS BIGINT) AS w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)) AS m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("word")).alias("bf"))
+    )
+
+
+def _bloom_probe(fact: DataFrame, bf: DataFrame, col: str) -> DataFrame:
+    """Rows of ``fact`` whose key hits all K Bloom bits (candidates —
+    supersets of the true matches, never missing one)."""
+    probe = fact.crossJoin(F.broadcast(bf))
+    cond = None
+    for i in range(BLOOM_K):
+        p = f"pmod(xxhash64({col}, {i}), {BLOOM_BITS})"
+        m = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+        hit = F.expr(
+            f"(coalesce(element_at(bf, CAST({p} DIV 64 AS BIGINT)), 0L) & {m}) = {m}"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return probe.where(cond).drop("bf")
+
+
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str,
+                           min_acctbal: float = 5000.0) -> DataFrame:
+    """Semi join with a hand-built Bloom-filter runtime prefilter:
+    orders of high-balance customers, where the fact scan first probes a
+    broadcast Bloom filter (built from the dimension's keys as a map of
+    64-bit words via ONE bit_or aggregate) and only surviving rows reach
+    the exact semi join.  Bloom false positives cannot change the
+    result (the exact join re-checks), so the DuckDB oracle is simply
+    the plain semi join — the filter is a physical optimization, the
+    shape Spark's own runtime row-group filtering uses, made explicit
+    and tunable (BLOOM_BITS/BLOOM_K).  At scale this cuts the shuffle
+    to ~|matching| rows instead of |fact| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    high = cust.where(F.col("c_acctbal") > min_acctbal).select("c_custkey")
+
+    bf = _bloom_build(high, "c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    prefiltered = _bloom_probe(orders, bf, "o_custkey")
+
+    return (
+        prefiltered.join(high, prefiltered.o_custkey == high.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def bloom_semi_join_orders_sql(min_acctbal: float = 5000.0) -> str:
+    return f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               round(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_acctbal > {min_acctbal})
+        GROUP BY o_orderstatus
+    """

@@ -120,6 +120,40 @@ def test_salted_join_equals_plain_join_and_shuffles(spark):
     assert a == b and a
 
 
+def test_bloom_prefilter_prunes_but_never_changes_results(spark):
+    """The hand-built Bloom prefilter must (a) keep the semi-join result
+    exactly equal to the plain semi join, and (b) actually prune: with a
+    selective dimension predicate, far fewer fact rows survive the probe
+    than exist."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor2_spark.plans import relational
+    from pdf_extractor2_spark.plans.relational import bloom_semi_join_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in bloom_semi_join_orders(spark, sf, 9000.0).collect())
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet").where(F.col("c_acctbal") > 9000.0)
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want and got
+
+    # pruning: probe survivors ≈ true matches + false positives ≪ |orders|
+    n_orders = orders.count()
+    n_true = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).count()
+    bf = relational._bloom_build(cust.select("c_custkey"), "c_custkey")
+    n_survivors = relational._bloom_probe(orders, bf, "o_custkey").count()
+    assert n_true <= n_survivors < 0.5 * n_orders, (n_true, n_survivors, n_orders)
+
+
 def test_dedup_plans_have_no_cartesian_product(spark):
     """The similarity/dedup family must never degenerate into a cross
     product — candidate pairs come from inverted-index or bucket joins."""
