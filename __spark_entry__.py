@@ -5,8 +5,10 @@ synthesized from the sf0.001 documents table.  ``queries()`` exposes one
 entry per implemented operator family (SURVEY.md §2 + the training-data
 pipeline ops); ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL
 for every SQL-expressible query (same column names, same rounding, same
-arithmetic).  Non-SQL-expressible entries (the extraction kernel itself,
-multimodal decode plumbing) are rows-only by design.
+arithmetic).  As of round 3 every entry is oracle-paired, including the
+flagship ``extract_pipeline`` (its pages carry synthesized entity
+sections whose post-kernel counts are closed-form SQL over the source
+table).
 """
 
 from __future__ import annotations
@@ -47,18 +49,84 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pages_with_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages for the flagship row, with SQL-derivable entity counts.
+
+    Beyond the plain body paragraph, each page carries a KONTAKTER
+    section with ``doc_id % 3`` contact lines (same name, distinct
+    phones — the kernel's first-wins dedup key is (name, phone), so the
+    post-dedup count equals the line count, including the reference's
+    double-append-at-terminator quirk) and a PROJEKTER section with
+    ``1 + doc_id % 4`` project lines (distinct names via the Blokhus<j>
+    suffix; 'opførelse' is the section trigger keyword).  No <table>
+    elements and no table yield → the adaptive text fallback always
+    fires and n_tables stays 0, so every projected column of
+    ``extract_pipeline`` is a closed-form DuckDB expression over
+    ``documents`` (verified corpus-wide: no document text contains a
+    section marker substring)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contacts_html = (
+        "case when doc_id % 3 = 0 then '' else aggregate("
+        "transform(sequence(1, cast(doc_id % 3 as int)), "
+        "i -> concat('<p>Jens Hansen telefon 43 21 56 7', cast(i as string), '</p>')), "
+        "'', (a, x) -> concat(a, x)) end"
+    )
+    projects_html = (
+        "aggregate("
+        "transform(sequence(1, cast(1 + doc_id % 4 as int)), "
+        "j -> concat('<p>Opførelse Bygning Blokhus', cast(j as string), '</p>')), "
+        "'', (a, x) -> concat(a, x))"
+    )
+    return docs.select(
+        F.concat(F.lit("https://corpus.local/doc/"), F.col("doc_id")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<!DOCTYPE html><html><head><title>doc "),
+                F.col("doc_id"),
+                F.lit("</title></head><body><article><p>"),
+                F.col("text"),
+                F.lit("</p><p>KONTAKTER</p>"),
+                F.expr(contacts_html),
+                F.lit("<p>PROJEKTER</p>"),
+                F.expr(projects_html),
+                F.lit("</article></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
 def extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full extraction kernel over synthesized pages.
+    """Flagship: full extraction kernel over synthesized pages carrying
+    oracle-predictable contact/project sections (see
+    ``_pages_with_entities``) — every projected column is checked
+    against DuckDB, so the driver row is rows+schema+hash green.
 
     ``methods`` is serialized to a comma-joined string here: the driver
     canonicalizes results with pandas and cannot hash array cells; the
     results table itself keeps the typed ``array<string>`` column."""
-    results = run_extract(_pages_from_documents(spark, sf_dir), num_buckets=32)
+    results = run_extract(_pages_with_entities(spark, sf_dir), num_buckets=32)
     return results.select(
         "url", "success", "payload_kind", "n_contacts", "n_projects",
         "n_tenders", "n_tables",
         F.array_join(F.col("methods"), ",").alias("methods"),
     )
+
+
+def extract_pipeline_sql() -> str:
+    """DuckDB twin of the flagship row: the synthesized sections make
+    every summary column a closed-form expression over ``documents``."""
+    return """
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               TRUE AS success,
+               'html' AS payload_kind,
+               CAST(doc_id % 3 AS INTEGER) AS n_contacts,
+               CAST(1 + doc_id % 4 AS INTEGER) AS n_projects,
+               CAST(0 AS INTEGER) AS n_tenders,
+               CAST(0 AS INTEGER) AS n_tables,
+               'text-fallback' AS methods
+        FROM documents
+    """
 
 
 def extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_pipeline": extract_pipeline_sql(),
         "extract_text_roundtrip": extract_text_roundtrip_sql(),
         "multimodal_features": multimodal_features_sql(),
         "pricing_summary": relational.pricing_summary_sql(),

@@ -98,9 +98,11 @@ def run_extraction_bench(spark, n_docs: int, num_buckets: int) -> dict:
 
     # the bucket repartition costs little locally and evens out input-split
     # imbalance, so the timed plan is the hash-lineage production shape;
-    # best-of-N repeats damp single-box noise (±15% observed between runs)
+    # best-of-N repeats damp single-box noise (±15-35% observed between
+    # runs on this VM) — default 3 so driver-recorded rounds are never
+    # single-sample (BENCH/BASELINE.md methodology)
     best = None
-    repeats = int(os.environ.get("PEX2_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("PEX2_BENCH_REPEATS", "3"))
     for _ in range(repeats):
         t0 = time.perf_counter()
         agg = (

@@ -137,15 +137,31 @@ _PAIR_EXPR = (
 def _groups_from(raw: DataFrame, max_df: int) -> DataFrame:
     """Posting lists: (sid, sorted docs array), stop shingles dropped.
 
-    ONE aggregate is simultaneously the inverted index, the document-
-    frequency computation and the cap (prefix filtering): a posting list
-    longer than max_df is boilerplate and is discarded whole, so no
-    downstream key can fan out more than C(max_df, 2) pairs.  Lists are
-    bounded by the cap, so collect_list cannot skew a reducer."""
-    return (
+    Two passes so NO reducer ever materializes a hot shingle's full
+    posting list (at web scale a boilerplate shingle appears in 10^8+
+    docs — collect_list-then-filter would build that array on one key
+    before dropping it, the classic skew OOM):
+
+      1. per-sid COUNT(*) — partial-aggregable, so the hot key arrives
+         at its reducer as a handful of map-side counts;
+      2. anti-join raw against the (small) hot-sid set — a streaming
+         hash join, constant memory per task, AQE splits any residual
+         probe-side skew;
+      3. collect_list only over surviving sids, every list ≤ max_df.
+
+    No downstream key can fan out more than C(max_df, 2) pairs.
+    Callers referencing ``raw`` from a multi-branch plan persist it
+    (``_scoped_persist``) so the shingle pipeline runs once."""
+    hot = (
         raw.groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("sid")
+    )
+    return (
+        raw.join(hot, "sid", "left_anti")
+        .groupBy("sid")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs") <= max_df)
     )
 
 
@@ -170,7 +186,8 @@ def jaccard_pairs(
     Three hash aggregates and two small joins; no self-join shuffle of
     the full edge list, and no key can fan out more than C(max_df, 2)."""
     _scoped_clear()
-    ok = _scoped_persist(_groups_from(_with_shingle_ids(spark, sf_dir), max_df))
+    raw = _scoped_persist(_with_shingle_ids(spark, sf_dir))
+    ok = _scoped_persist(_groups_from(raw, max_df))
     sizes = (
         ok.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -219,21 +236,31 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 of 4 bands (4 rows each).
-    Output: (doc_a, doc_b, n_bands) — n_bands many ⇒ likely near-dup."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    for j in range(N_BANDS):
-        cols = [f"m{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(j).alias("band"),
-                F.md5(F.concat_ws("-", *cols).cast("binary")).alias("key"),
-            )
+    Output: (doc_a, doc_b, n_bands) — n_bands many ⇒ likely near-dup.
+
+    Plan shape: the signature table (ONE pass over documents — tokenize,
+    56-bit fold, 16-way min aggregate) is persisted and every band on
+    both join sides reads the cache; the bands themselves are a single
+    explode projection, not a 4-way union, so the shingle pipeline never
+    re-executes per band.  Pinned by tests/test_plans.py::
+    test_minhash_lsh_scans_documents_once (regression: round 2 lost the
+    persist in a cache-scoping refactor and re-scanned documents 16×)."""
+    _scoped_clear()
+    sig = _scoped_persist(minhash_signatures(spark, sf_dir))
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "-", *[f"m{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                ).cast("binary")
+            ).alias("key"),
         )
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+        for j in range(N_BANDS)
+    ]
+    all_bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = all_bands.alias("a")
     b = all_bands.alias("b")
@@ -276,10 +303,16 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
 
     Iterative min-label propagation: label(v) ← min(label(v), min label
     over neighbors) until fixpoint.  Each sweep is one join + one hash
-    aggregate; near-dup components are tiny (bounded by the shingle df
-    cap upstream), so convergence takes O(log(diameter)) ≈ 2-4 sweeps.
-    The only driver-side value per sweep is the changed-row count — the
-    same shape GraphX/GraphFrames use for Pregel supersteps."""
+    aggregate; propagation converges in O(diameter) sweeps (labels move
+    one hop per sweep — pointer-jumping/large-star would give O(log d),
+    at the cost of mutating the edge set each round), and near-dup
+    components are tiny (bounded by the shingle df cap upstream), so
+    2-4 sweeps suffice in practice.  If a pathological chain exceeds
+    ``max_iters`` the loop RAISES rather than silently returning
+    unconverged labels (the DuckDB oracle computes the exact fixpoint —
+    a partial result would be a wrong answer, not a slow one).  The only
+    driver-side value per sweep is the changed-row count — the same
+    shape GraphX/GraphFrames use for Pregel supersteps."""
     pairs = jaccard_pairs(spark, sf_dir, threshold)
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
@@ -292,6 +325,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iters):
             nbr = (
                 edges.join(labels, edges.d == labels.doc_id)
@@ -314,7 +348,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"dedup_groups: min-label propagation did not reach a fixpoint "
+                f"in {max_iters} sweeps (a component's diameter exceeds the "
+                f"iteration budget); raise max_iters"
+            )
         # localCheckpoint materializes the converged labels on the
         # executors and truncates the per-sweep join lineage — the
         # distributed equivalent of "collect and rebuild", valid at any
@@ -467,7 +508,7 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     )
 
     survivors = _spread(spark, docs.join(exact_kept, "doc_id", "left_semi"))
-    raw = (
+    raw = _scoped_persist(
         survivors.select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
         .select("doc_id", F.expr(_SID_EXPR).alias("sid"))

@@ -18,6 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+def _r6(x: str) -> str:
+    """Round-half-up to 6 decimals via the repo's cross-engine floor idiom
+    (CLAUDE.md): round() diverges between Spark and DuckDB on halfway
+    doubles, and one flipped 6th-decimal centroid component would cascade
+    into a different cell assignment.  The expression text is valid in
+    BOTH engines, so they run the identical double arithmetic."""
+    return (
+        f"floor(({x}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " 0D, (acc, v) -> acc + v)"
@@ -60,8 +72,20 @@ def ann_cosine_topk(
 
 N_IVF_CELLS = 8
 EMB_DIMS = 64
-_IVF_INDEX_ROOT = "/root/repo/.ivf_index"
-_IVF_VERSION = 2  # bump when the quantizer arithmetic changes
+_IVF_VERSION = 3  # bump when the quantizer arithmetic changes
+
+
+def _ivf_index_root() -> str:
+    """Index cache root: ``$PEX2_IVF_CACHE_DIR`` if set, else
+    ``<repo>/.ivf_index`` derived from this module's location (never a
+    hard-coded absolute path — the repo must be relocatable)."""
+    import os
+
+    env = os.environ.get("PEX2_IVF_CACHE_DIR")
+    if env:
+        return env
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(pkg_root, ".ivf_index")
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -73,7 +97,7 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     nc = _DOT.format(a="cvec", b="cvec")
     return (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("score", F.expr(f"round(({nc}) - 2 * ({dot}), 6)"))
+        .withColumn("score", F.expr(_r6(f"({nc}) - 2 * ({dot})")))
         .groupBy("vec_id")
         .agg(
             F.min(F.struct(F.col("score"), F.col("cell"))).getField("cell").alias("cell")
@@ -107,7 +131,7 @@ def _ivf_model(
         a1.join(emb, "vec_id")
         .select("cell", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cell", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+        .agg(F.expr(_r6("avg(cast(val as double))")).alias("cval"))
         .groupBy("cell")
         .agg(
             F.expr(
@@ -133,16 +157,27 @@ def build_ivf_index(
     than a full-scan filter — plus the centroid table next to it (the
     probe-ranking model).  Idempotent per (dataset CONTENT, quantizer
     version, n_cells): the cache key fingerprints the source file's
-    mtime+size and the quantizer code version, so regenerated testdata
-    or a changed quantizer can never serve a stale index."""
+    mtime_ns+size (nanosecond mtime — an in-place same-size rewrite
+    within one second cannot serve a stale index) and the quantizer code
+    version.  Before a rebuild, stale entries for the same (dataset,
+    n_cells) — older fingerprints and older quantizer versions — are
+    pruned, so the cache never accumulates unboundedly."""
     import os
+    import shutil
 
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    fingerprint = f"{int(st.st_mtime)}_{st.st_size}"
+    fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
     key = sf_dir.strip("/").replace("/", "_")
-    path = f"{_IVF_INDEX_ROOT}/{key}_c{n_cells}_v{_IVF_VERSION}_{fingerprint}"
+    root = _ivf_index_root()
+    entry = f"{key}_c{n_cells}_v{_IVF_VERSION}_{fingerprint}"
+    path = os.path.join(root, entry)
     if not os.path.exists(f"{path}/_SUCCESS"):
+        if os.path.isdir(root):
+            stale_prefix = f"{key}_c{n_cells}_"
+            for name in os.listdir(root):
+                if name.startswith(stale_prefix) and not name.startswith(entry):
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         cells, cents = _ivf_model(spark, sf_dir, n_cells)
         cents.write.mode("overwrite").parquet(f"{path}_centroids")
         (
@@ -176,7 +211,7 @@ def ann_ivf_topk(
     probe_cells = [
         r["cell"]
         for r in cents.crossJoin(F.broadcast(q))
-        .withColumn("score", F.expr(f"round(({cnorm}) - 2 * ({cdot}), 6)"))
+        .withColumn("score", F.expr(_r6(f"({cnorm}) - 2 * ({cdot})")))
         .orderBy("score", "cell")
         .limit(n_probe)
         .collect()
@@ -225,21 +260,34 @@ def embedding_near_dup_pairs(
     hyperplane; banding recovers them (recall is provably ≥ the
     monolithic block's: agreeing on all bits implies agreeing on every
     band).  Candidate count still scales with bucket collisions, never
-    n²; the recall/cost knob is (n_bands, band_dims)."""
-    emb = _emb(spark, sf_dir)
-    band_cols = [
-        F.expr(
-            "concat_ws('', transform(slice(embedding, {start}, {d}),"
-            " x -> case when x >= 0 then '1' else '0' end))".format(
-                start=j * band_dims + 1, d=band_dims
-            )
-        ).alias("key")
+    n²; the recall/cost knob is (n_bands, band_dims).
+
+    Plan shape: the embeddings scan is persisted and referenced four
+    times from the cache (band side a, band side b, exact-score side a,
+    exact-score side b) — ONE FileScan of the vector table per query,
+    where the round-2 8-band union re-scanned it 16× (pinned by
+    tests/test_plans.py::test_embedding_near_dup_scans_embeddings_once).
+    The bands are a single explode projection, not an n_bands-way
+    union."""
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    emb = _scoped_persist(_emb(spark, sf_dir))
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(
+                "concat_ws('', transform(slice(embedding, {start}, {d}),"
+                " x -> case when x >= 0 then '1' else '0' end))".format(
+                    start=j * band_dims + 1, d=band_dims
+                )
+            ).alias("key"),
+        )
         for j in range(n_bands)
     ]
-    bands = None
-    for j, key in enumerate(band_cols):
-        part = emb.select("vec_id", F.lit(j).alias("band"), key)
-        bands = part if bands is None else bands.unionByName(part)
+    bands = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -352,22 +400,20 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
         seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
                   WHERE vec_id < {n_cells}),
         s1 AS (SELECT vec_id, cell,
-                      round(list_dot_product(cvec, cvec)
-                            - 2 * list_dot_product(v, cvec), 6) AS score
+                      {_r6('list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec)')} AS score
                FROM e CROSS JOIN seeds),
         a1 AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY score, cell) AS rn
                  FROM s1) WHERE rn = 1),
-        cent AS (SELECT cell, i, round(AVG(v[i]), 6) AS cval
+        cent AS (SELECT cell, i, {_r6('AVG(v[i])')} AS cval
                  FROM a1 JOIN e USING (vec_id)
                  CROSS JOIN generate_series(1, {dims}) t(i)
                  GROUP BY cell, i),
         cvecs AS (SELECT cell, list(cval ORDER BY i) AS cvec FROM cent GROUP BY cell),
         s2 AS (SELECT vec_id, cell,
-                      round(list_dot_product(cvec, cvec)
-                            - 2 * list_dot_product(v, cvec), 6) AS score
+                      {_r6('list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec)')} AS score
                FROM e CROSS JOIN cvecs),
         a2 AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell,
@@ -377,8 +423,7 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
         q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
         probe AS (SELECT cell FROM (
                     SELECT c.cell,
-                           round(list_dot_product(c.cvec, c.cvec)
-                                 - 2 * list_dot_product(q.qv, c.cvec), 6) AS score
+                           {_r6('list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(q.qv, c.cvec)')} AS score
                     FROM cvecs c CROSS JOIN q)
                   ORDER BY score, cell LIMIT {n_probe})
         SELECT e.vec_id, a2.cell,

@@ -185,10 +185,17 @@ def distinct_shingles_kmv(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> D
     driver merges k·partitions values — bounded, no global sort).  The
     exact count rides along as one extra aggregate so the result row
     exhibits the sketch's error.  The hash universe is the 56-bit
-    shingle fold shared with the dedup family."""
-    from .dedup import _with_shingle_ids
+    shingle fold shared with the dedup family.
 
-    dh = _with_shingle_ids(spark, sf_dir).select(F.col("sid").alias("h")).distinct()
+    The distinct-hash branch feeds BOTH the sketch leg and the exact
+    leg, so it is persisted (scoped) — without it the whole
+    explode+fold+distinct subtree executes twice per query."""
+    from .dedup import _scoped_clear, _scoped_persist, _with_shingle_ids
+
+    _scoped_clear()
+    dh = _scoped_persist(
+        _with_shingle_ids(spark, sf_dir).select(F.col("sid").alias("h")).distinct()
+    )
     sketch = dh.orderBy("h").limit(k).agg(
         F.max("h").alias("kth_min_h"), F.count("*").alias("k_used")
     )
@@ -213,7 +220,7 @@ def distinct_shingles_kmv_sql(table: str = "documents", k: int = KMV_K) -> str:
         exact_ct AS (SELECT COUNT(*) AS n_exact_distinct FROM h)
         SELECT n_exact_distinct, k_used, kth_min_h,
                round(CASE WHEN k_used < {k} THEN CAST(n_exact_distinct AS DOUBLE)
-                          ELSE ((k_used - 1) * {P56}.0) / kth_min_h END, 2)
+                          ELSE ((k_used - 1) * CAST({P56} AS DOUBLE)) / kth_min_h END, 2)
                  AS kmv_estimate
         FROM sk CROSS JOIN exact_ct
     """

@@ -271,12 +271,24 @@ def run_resumable(
     metrics_rollup(done, run_id).write.mode("append").parquet(metrics_path)
 
 
+def list_input_files_iceberg(spark: SparkSession, table: str) -> list[str]:
+    """Input data files from the Iceberg ``files`` snapshot-metadata
+    table — the production branch of ``list_input_files``: one metadata
+    query (`SELECT file_path FROM <t>.files`), zero data bytes read, and
+    the file set is pinned to the current snapshot (consistent resume
+    even while writers append).  Requires an Iceberg catalog on the
+    session; select it with ``PEX2_ICEBERG_TABLE`` (see
+    ``run_resumable_by_file``)."""
+    rows = spark.sql(f"SELECT file_path FROM {table}.files").collect()
+    return sorted(r["file_path"] for r in rows)
+
+
 def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
     """Input data files from storage METADATA (Hadoop FileSystem
-    listStatus) — never a row scan.  In production this is the Iceberg
-    ``files`` snapshot metadata table (`SELECT file_path FROM t.files`);
-    the local analogue is a directory listing: both are O(#files)
-    metadata operations that touch zero data bytes."""
+    listStatus) — never a row scan.  In production the Iceberg branch
+    (``list_input_files_iceberg``) replaces this; the local analogue is
+    a directory listing: both are O(#files) metadata operations that
+    touch zero data bytes."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(input_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return sorted(
@@ -326,10 +338,21 @@ def run_resumable_by_file(
     Idempotence: results are written under ``bucket=<file_id>/``
     partitions (dynamic overwrite), so re-running a half-finished file
     replaces only that file's partition.
+
+    Feature flag: when ``PEX2_ICEBERG_TABLE`` names an Iceberg table,
+    the file list comes from that table's ``files`` snapshot-metadata
+    table instead of a filesystem listing (the production face — the
+    parquet listing is the sandbox stand-in, same O(#files) metadata
+    contract).
     """
+    import os
     import posixpath
 
-    all_files = list_input_files(spark, input_path)
+    iceberg_table = os.environ.get("PEX2_ICEBERG_TABLE")
+    if iceberg_table:
+        all_files = list_input_files_iceberg(spark, iceberg_table)
+    else:
+        all_files = list_input_files(spark, input_path)
     file_ids = {posixpath.basename(p): i for i, p in enumerate(all_files)}
 
     completed: set[str] = set()

@@ -445,33 +445,57 @@ def asof_last_click_sql() -> str:
     """
 
 
+def _nearby_event_counts(ev: DataFrame, window_s: int) -> DataFrame:
+    """Core of the range join over a prepared events frame with columns
+    (user_id, event_id, epoch, event_type).  Split out so the hot-user
+    skew bound is testable on a synthetic fixture
+    (tests/test_plans.py::test_range_join_hot_user_bounded)."""
+    bucket = F.floor(F.col("epoch") / F.lit(float(window_s))).cast("long")
+    ev_b = ev.withColumn("tb", bucket)
+    p_bucket = F.floor(F.col("p_epoch") / F.lit(float(window_s))).cast("long")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("epoch").alias("p_epoch"),
+        )
+        # a purchase's ±window band overlaps exactly the 3 coarse buckets
+        # around its own — replicate the (small) purchase side 3×
+        .withColumn("tb", F.explode(F.array(p_bucket - 1, p_bucket, p_bucket + 1)))
+    )
+    p, e = purchases.alias("p"), ev_b.alias("e")
+    joined = p.join(
+        e,
+        (F.col("p.p_user") == F.col("e.user_id"))
+        & (F.col("p.tb") == F.col("e.tb"))
+        & (F.col("e.event_id") != F.col("p.purchase_id"))
+        & (F.abs(F.col("e.epoch") - F.col("p.p_epoch")) <= window_s),
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_nearby"))
+
+
 def range_join_nearby_events(spark: SparkSession, sf_dir: str,
                              window_s: int = 300) -> DataFrame:
     """Range join: per purchase, how many other events by the same user
-    fall within ±window_s seconds. Expressed as an equi-join on user_id
-    with a range predicate — Catalyst keeps the hash join on the key and
-    filters the time band, so there is no quadratic blow-up beyond the
-    per-user group."""
+    fall within ±window_s seconds.
+
+    Skew guard: the join key is (user_id, coarse time bucket of size
+    window_s), not user_id alone — a bot user with 10^6 events would
+    make the bare user_id key per-user quadratic; bucketing bounds each
+    join group to the events of ONE user in ONE window-sized slice of
+    time.  Each event lands in exactly one bucket and a purchase's
+    ±window band overlaps exactly 3 buckets, so the purchase side is
+    replicated 3× (events ≫ purchases — the cheap side) and every
+    qualifying pair is matched exactly once.  The exact band predicate
+    still filters inside each group, so the result is identical to the
+    plain equi-join + band filter (the DuckDB oracle runs that form)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.col("ts").cast("timestamp").cast("double").alias("epoch"),
         "event_type",
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("epoch").alias("p_epoch"),
-    )
-    joined = purchases.join(
-        ev,
-        (F.col("p_user") == F.col("user_id"))
-        & (F.col("event_id") != F.col("purchase_id"))
-        & (F.abs(F.col("epoch") - F.col("p_epoch")) <= window_s),
-    )
-    return (
-        joined.groupBy("purchase_id")
-        .agg(F.count("*").alias("n_nearby"))
-    )
+    return _nearby_event_counts(ev, window_s)
 
 
 def range_join_nearby_events_sql(window_s: int = 300) -> str:

@@ -55,9 +55,10 @@ def test_all_queries_have_unique_names():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    # every oracle-less query is intentionally rows-only
+    # round 3: every driver query is oracle-paired (extract_pipeline's
+    # synthesized entity sections made the flagship SQL-derivable)
     rows_only = set(q) - set(o)
-    assert rows_only == {"extract_pipeline"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
@@ -78,12 +79,6 @@ def test_query_matches_oracle(spark, ddb, name):
     assert a == b, f"{name}: values differ; first mismatch: " + str(
         next(((x, y) for x, y in zip(a, b) if x != y), (a[:2], b[:2]))
     )
-
-
-@pytest.mark.parametrize("name", ["extract_pipeline"])
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    assert df.count() > 0
 
 
 def test_no_unhashable_columns_in_driver_projections(spark):

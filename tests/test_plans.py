@@ -164,3 +164,85 @@ def test_dedup_plans_have_no_cartesian_product(spark):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def _unique_parquet_scans(plan: str) -> int:
+    """Unique FileScan nodes in a formatted plan: details-section headers
+    look like `(3) Scan parquet`; tree references repeat the id but put
+    it AFTER the name, so this counts each physical scan node once even
+    when several InMemoryTableScans expand the same cached relation."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def test_minhash_lsh_scans_documents_once(spark):
+    """Round-2 regression pin: the LSH query lost the shared-signature
+    persist in a cache-scoping refactor and re-ran the shingle pipeline
+    16× (16 FileScans of documents.parquet in ONE query — the 1.1s→10.1s
+    bench regression).  The plan must contain exactly one parquet scan,
+    with every other reference served from the persisted signature
+    table."""
+    from pdf_extractor2_spark.operators.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(spark, "/root/testdata/sf0.001"))
+    assert "documents.parquet" in plan
+    assert _unique_parquet_scans(plan) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_embedding_near_dup_scans_embeddings_once(spark):
+    """Same shape as the minhash pin: the banded hyperplane-LSH query
+    references embeddings from four branches (band a/b, exact-score a/b);
+    all must read the one persisted scan — at 10^9 vectors re-reading
+    the vector table 16× is the difference between a pass and a re-shard."""
+    from pdf_extractor2_spark.operators.similarity import embedding_near_dup_pairs
+
+    plan = _plan(embedding_near_dup_pairs(spark, "/root/testdata/sf0.001"))
+    assert "embeddings.parquet" in plan
+    assert _unique_parquet_scans(plan) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_kmv_scans_documents_once(spark):
+    """The KMV sketch's distinct-hash branch feeds both the sketch leg
+    and the exact leg; with the scoped persist the explode+fold+distinct
+    subtree (and the file scan under it) must appear exactly once."""
+    from pdf_extractor2_spark.operators.textstats import distinct_shingles_kmv
+
+    plan = _plan(distinct_shingles_kmv(spark, "/root/testdata/sf0.001"))
+    assert "documents.parquet" in plan
+    assert _unique_parquet_scans(plan) == 1, plan
+
+
+def test_range_join_hot_user_bounded(spark):
+    """Hot-user skew guard: the range join keys on (user_id, coarse time
+    bucket), so one bot user with N events fans out per-purchase to the
+    events of 3 window-sized buckets, not to all N.  Checks (a) exact
+    counts against a closed-form expectation on a hot-user fixture and
+    (b) the physical join condition actually includes the bucket key."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor2_spark.plans.relational import _nearby_event_counts
+
+    n, spacing, window = 2000, 100.0, 300
+    ev = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * spacing).alias("epoch"),
+        F.when(F.col("id") % 100 == 0, "purchase")
+        .otherwise("click")
+        .alias("event_type"),
+    )
+    out = _nearby_event_counts(ev, window)
+
+    plan = _plan(out)
+    assert "tb" in plan, plan  # bucket key participates in the join
+
+    got = {r["purchase_id"]: r["n_nearby"] for r in out.collect()}
+    reach = int(window // spacing)  # events within ±window at fixed spacing
+    want = {
+        p: len([e for e in range(max(0, p - reach), min(n, p + reach + 1)) if e != p])
+        for p in range(0, n, 100)
+    }
+    assert got == want, (sorted(got.items())[:3], sorted(want.items())[:3])

@@ -88,3 +88,39 @@ def test_file_lineage_plan_size_independent_of_file_count(spark, tmp_path):
     assert "create_map" not in small and "create_map" not in big
     # 6x the files must not mean a meaningfully bigger plan tree
     assert len(big) < 1.5 * len(small), (len(small), len(big))
+
+
+def test_list_input_files_iceberg_mocked():
+    """The production file-listing branch issues exactly one metadata
+    query against the Iceberg ``files`` table and returns sorted paths —
+    verified against a mocked catalog (no Iceberg runtime in the
+    sandbox; the SQL text and result plumbing are what's under test)."""
+    from pdf_extractor2_spark.plans.extract_job import list_input_files_iceberg
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class FakeSpark:
+        def __init__(self):
+            self.sql_text = None
+
+        def sql(self, q):
+            self.sql_text = q
+            return FakeDF(
+                [
+                    {"file_path": "s3://bucket/t/data/part-2.parquet"},
+                    {"file_path": "s3://bucket/t/data/part-1.parquet"},
+                ]
+            )
+
+    fake = FakeSpark()
+    files = list_input_files_iceberg(fake, "cat.db.pages")
+    assert files == [
+        "s3://bucket/t/data/part-1.parquet",
+        "s3://bucket/t/data/part-2.parquet",
+    ]
+    assert fake.sql_text == "SELECT file_path FROM cat.db.pages.files"
