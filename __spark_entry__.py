@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textstats.lang_id,
         "top_tokens": textstats.top_tokens,
         "distinct_shingles_kmv": textstats.distinct_shingles_kmv,
+        "repetition_stats": textstats.repetition_stats,
+        "quality_gates": textstats.quality_gates,
+        "top_tokens_by_lang": textstats.top_tokens_by_lang,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -286,6 +289,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.lang_id_sql(),
         "top_tokens": textstats.top_tokens_sql(),
         "distinct_shingles_kmv": textstats.distinct_shingles_kmv_sql(),
+        "repetition_stats": textstats.repetition_stats_sql(),
+        "quality_gates": textstats.quality_gates_sql(),
+        "top_tokens_by_lang": textstats.top_tokens_by_lang_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

@@ -135,12 +135,18 @@ def run_generic_queries(spark, sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
     queries = em.queries()
+    repeats = int(os.environ.get("PEX2_BENCH_REPEATS", "3"))
     for name in GENERIC_QUERIES:
         fn = queries[name]
         fn(spark, sf_dir).count()  # warm (plan compile + IO cache)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):  # best-of-N: ±15-35% VM window noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            if best is None or wall < best:
+                best = wall
+        timings[name] = round(best, 3)
     return timings
 
 

@@ -235,3 +235,196 @@ def top_tokens_sql(table: str = "documents", k: int = 30) -> str:
         ORDER BY n DESC, token ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# round 3: repetition / quality-gate / per-group heavy-hitter operators
+# (the Gopher/C4 filter family a pretraining pipeline runs corpus-wide)
+# ---------------------------------------------------------------------------
+
+def _f6(x: str) -> str:
+    """Cross-engine round-half-up to 6 decimals (CLAUDE.md floor idiom —
+    ratios of small integers DO land on exact binary halfway points,
+    e.g. 1/128, where Spark round() and DuckDB round() disagree)."""
+    return (
+        f"floor(({x}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family): duplicate-3-gram fraction and top-token mass fraction.
+    Highly repetitive documents (boilerplate, SEO spam, generation
+    loops) score near 1 and are dropped by downstream quality gates.
+
+    Plan: one tokenize projection persisted (two consumers: the per-row
+    3-gram arithmetic and the exploded token-frequency aggregate), one
+    hash aggregate per doc-token, one per-doc aggregate, one join —
+    every stage partial-aggregable, nothing quadratic, no windows."""
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    d = _scoped_persist(
+        _docs(spark, sf_dir).select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+    )
+    n3 = "greatest(size(toks) - 2, 0)"
+    d3 = (
+        "case when size(toks) < 3 then 0 else size(array_distinct("
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ',"
+        " element_at(toks, i + 1), element_at(toks, i + 2),"
+        " element_at(toks, i + 3))))) end"
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr(f"cast({n3} as long)").alias("n_3grams"),
+        F.expr(f"cast({d3} as long)").alias("n_distinct_3grams"),
+    )
+    per_doc = (
+        d.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    dup_frac = _f6(
+        "CAST(1 AS DOUBLE) - CAST(n_distinct_3grams AS DOUBLE) / n_3grams"
+    )
+    top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
+    return per_doc.join(grams, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_3grams",
+        "n_distinct_3grams",
+        F.expr(
+            f"case when n_3grams = 0 then CAST(0 AS DOUBLE) else {dup_frac} end"
+        ).alias("dup_3gram_frac"),
+        F.expr(top_frac).alias("top_token_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    dup_frac = _f6("CAST(1 AS DOUBLE) - CAST(n_distinct_3grams AS DOUBLE) / n_3grams")
+    top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+        grams AS (SELECT doc_id,
+                         CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_3grams,
+                         CAST(CASE WHEN len(t) < 3 THEN 0 ELSE
+                           len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              for i in generate_series(1, len(t) - 2)]))
+                         END AS BIGINT) AS n_distinct_3grams
+                  FROM toks),
+        tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(MAX(c) AS BIGINT) AS top_c
+                    FROM cnt GROUP BY 1)
+        SELECT p.doc_id, n_tokens, n_3grams, n_distinct_3grams,
+               CASE WHEN n_3grams = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE {dup_frac} END AS dup_3gram_frac,
+               {top_frac} AS top_token_frac
+        FROM per_doc p JOIN grams g USING (doc_id)
+    """
+
+
+def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boolean quality gates per document: minimum word count,
+    sane mean word length, no 'lorem ipsum', no curly braces (code/
+    template leakage); ``kept`` is their conjunction.  Pure per-row
+    Spark-SQL expressions — whole-stage codegen, embarrassingly
+    parallel, the exact shape that filters 10^12 docs in one pass.
+
+    The mean-word-length band compares the RAW double (identical in
+    both engines: integer sum / integer count); only the reported
+    column is rounded."""
+    mean_len = (
+        "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
+        " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", F.expr("split(text, ' ')").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.expr("cast(size(toks) as long)").alias("n_words"),
+        F.expr(_f6(mean_len)).alias("mean_word_len"),
+        F.expr("size(toks) >= 50").alias("has_min_words"),
+        F.expr(
+            f"({mean_len}) >= CAST(3 AS DOUBLE) AND ({mean_len}) <= CAST(10 AS DOUBLE)"
+        ).alias("word_len_ok"),
+        F.expr("NOT contains(lower(text), 'lorem ipsum')").alias("no_lorem"),
+        F.expr("NOT contains(text, '{')").alias("no_brace"),
+        F.expr(
+            f"size(toks) >= 50 AND ({mean_len}) >= CAST(3 AS DOUBLE)"
+            f" AND ({mean_len}) <= CAST(10 AS DOUBLE)"
+            " AND NOT contains(lower(text), 'lorem ipsum')"
+            " AND NOT contains(text, '{')"
+        ).alias("kept"),
+    )
+
+
+def quality_gates_sql(table: str = "documents") -> str:
+    mean_len = (
+        "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+                      FROM {table})
+        SELECT doc_id, lang,
+               CAST(len(t) AS BIGINT) AS n_words,
+               {_f6(mean_len)} AS mean_word_len,
+               len(t) >= 50 AS has_min_words,
+               ({mean_len}) >= CAST(3 AS DOUBLE)
+                 AND ({mean_len}) <= CAST(10 AS DOUBLE) AS word_len_ok,
+               NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+               NOT contains(text, '{{') AS no_brace,
+               len(t) >= 50 AND ({mean_len}) >= CAST(3 AS DOUBLE)
+                 AND ({mean_len}) <= CAST(10 AS DOUBLE)
+                 AND NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, '{{') AS kept
+        FROM toks
+    """
+
+
+def top_tokens_by_lang(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Per-language heavy hitters: explode → (lang, token) hash aggregate
+    → per-lang top-k via row_number (deterministic tie-break on the
+    token).  The window partitions by lang over the ALREADY-aggregated
+    frequency table — its input is |vocab per lang| rows, not corpus
+    rows, so the sort under the window is bounded at any corpus size."""
+    from pyspark.sql import Window
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.expr("split(text, ' ')")).alias("token"))
+        .where(F.length("token") > 1)
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "token", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def top_tokens_by_lang_sql(table: str = "documents", k: int = 5) -> str:
+    return f"""
+        WITH freq AS (
+          SELECT lang, token, COUNT(*) AS n
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM {table})
+          WHERE length(token) > 1
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT lang, token, n,
+                 CAST(row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, token ASC) AS INTEGER) AS rank
+          FROM freq)
+        SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
+    """
