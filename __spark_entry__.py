@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": relational.bloom_semi_join_orders,
         "price_percentiles": relational.price_percentiles,
         "stratified_sample": relational.stratified_sample,
+        "token_budget_sample": relational.token_budget_sample,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -247,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "dedup_groups": dedup.dedup_groups,
         "training_corpus_filter": dedup.training_corpus_filter,
+        "duplicate_span_stats": dedup.duplicate_span_stats,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -282,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join_orders": relational.bloom_semi_join_orders_sql(),
         "price_percentiles": relational.price_percentiles_sql(),
         "stratified_sample": relational.stratified_sample_sql(),
+        "token_budget_sample": relational.token_budget_sample_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),
@@ -298,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_sql(),
         "dedup_groups": dedup.dedup_groups_sql(),
         "training_corpus_filter": dedup.training_corpus_filter_sql(),
+        "duplicate_span_stats": dedup.duplicate_span_stats_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe_sql(),

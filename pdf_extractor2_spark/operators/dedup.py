@@ -561,3 +561,97 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
         SELECT doc_id, n_exact_dups FROM exact_kept
         WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
     """
+
+
+# ---------------------------------------------------------------------------
+# round 3: span-level duplication (the substring-dedup family signal)
+# ---------------------------------------------------------------------------
+
+def _kgram_spark(k: int) -> str:
+    elems = ", ".join(f"element_at(toks, i + {j + 1})" for j in range(k))
+    return (
+        f"case when size(toks) < {k} then array()"
+        f" else array_distinct(transform(sequence(0, size(toks) - {k}),"
+        f" i -> concat_ws(' ', {elems}))) end"
+    )
+
+
+def _kgram_duck(k: int) -> str:
+    elems = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"list_distinct([{elems} for i in generate_series(1, len(t) - {k - 1})])"
+
+
+def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct k-token windows (k=8 — long enough that a shared window is
+    verbatim copied text, the signal suffix-array substring dedup à la
+    Lee et al. extracts) that occur in at least one OTHER document.
+    Training pipelines drop or trim documents whose duplicated-span
+    fraction is high even when whole-document near-dup misses them.
+
+    Plan: ONE persisted (doc_id, window-hash) stream feeds all three
+    consumers (per-window df count — partial-aggregable, skew-safe; the
+    per-doc totals; the join back against duplicated windows).  The join
+    streams hot windows through a hash join — no posting-list arrays
+    materialize anywhere, so there is nothing for a boilerplate window
+    to OOM."""
+    _scoped_clear()
+    raw = _scoped_persist(
+        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_kgram_spark(k))).alias("shingle"))
+        .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+    )
+    dup_sids = (
+        raw.groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("sid")
+    )
+    per_doc = raw.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup_per_doc = (
+        raw.join(dup_sids, "sid")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    frac = (
+        "floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * CAST(1000000 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.expr(f"case when n_spans = 0 then CAST(0 AS DOUBLE) else {frac} end"),
+        )
+    )
+
+
+def duplicate_span_stats_sql(table: str = "documents", k: int = 8) -> str:
+    frac = (
+        "floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * CAST(1000000 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+        ex AS (SELECT doc_id, unnest(CASE WHEN len(t) < {k} THEN []
+                                          ELSE {_kgram_duck(k)} END) AS shingle
+               FROM toks),
+        ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM ex),
+        dup_sids AS (SELECT sid FROM ids GROUP BY sid HAVING COUNT(*) >= 2),
+        per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+                    FROM ids GROUP BY 1),
+        dup_per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+                        FROM ids JOIN dup_sids USING (sid) GROUP BY 1)
+        SELECT doc_id, n_spans, n_dup_spans,
+               CASE WHEN n_spans = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE {frac} END AS dup_span_frac
+        FROM (SELECT p.doc_id, n_spans,
+                     COALESCE(d.n_dup_spans, 0) AS n_dup_spans
+              FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id))
+    """

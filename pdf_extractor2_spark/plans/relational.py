@@ -671,6 +671,62 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
     """
 
 
+def token_budget_sample(spark: SparkSession, sf_dir: str,
+                        budget_tokens: int = 60_000,
+                        n_buckets: int = 8) -> DataFrame:
+    """Deterministic token-budget sampling (the "data mixing" primitive:
+    build a training mix by taking documents per language until a token
+    budget is hit).  Documents are consumed in pseudo-random hash order
+    (the repo's LCG idiom — no RNG state, reproducible across engines
+    and restarts); a document is kept iff it fits entirely within the
+    remaining budget of its bucket.
+
+    Skew-aware by construction: the per-language budget is split evenly
+    over ``n_buckets`` hash buckets and the cumulative-sum window
+    partitions by (lang, bucket) — no task ever sorts more than
+    1/n_buckets of one language, where a naive per-lang window would
+    serialize a dominant language (English ≈ half the web) onto one
+    reducer.  At larger scale, raise n_buckets; selection stays
+    deterministic because bucket assignment and order are both pure
+    functions of doc_id."""
+    per_bucket = budget_tokens // n_buckets
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("cast(size(split(text, ' ')) as long)").alias("n_tokens"),
+    )
+    h = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("bucket", F.col("doc_id") % F.lit(n_buckets))
+        .withColumn("h", h)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= per_bucket)
+        .select("doc_id", "lang", "bucket", "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(budget_tokens: int = 60_000, n_buckets: int = 8) -> str:
+    per_bucket = budget_tokens // n_buckets
+    return f"""
+        SELECT doc_id, lang, bucket, n_tokens, cum_tokens FROM (
+          SELECT doc_id, lang, bucket, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang, bucket
+                   ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM (SELECT doc_id, lang, doc_id % {n_buckets} AS bucket,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents))
+        WHERE cum_tokens <= {per_bucket}
+    """
+
+
 def salted_join_user_segments(spark: SparkSession, sf_dir: str,
                               n_salts: int = 8) -> DataFrame:
     """Skew-salted shuffle join, made explicit (north_rule: "partitioning
