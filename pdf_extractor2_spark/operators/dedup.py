@@ -496,9 +496,16 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     at 10^12 documents.
     """
     _scoped_clear()
-    docs = _docs(spark, sf_dir).where(
-        (F.length("text") >= 200)
-        & (F.expr("size(split(text, ' '))") >= 40)
+    # persisted: the quality-filtered table feeds BOTH the exact-dedup
+    # aggregate and the survivors join — one FileScan, not two (the
+    # groupBy(min) shape is kept over a window-rank because it is
+    # partial-aggregable: 10^8 copies of one viral page arrive at the
+    # digest's reducer as map-side partials, not as a sorted partition)
+    docs = _scoped_persist(
+        _docs(spark, sf_dir).where(
+            (F.length("text") >= 200)
+            & (F.expr("size(split(text, ' '))") >= 40)
+        )
     )
 
     exact_kept = (

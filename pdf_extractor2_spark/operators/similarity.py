@@ -447,3 +447,41 @@ def label_centroid_norms_sql(table: str = "embeddings") -> str:
         SELECT label, COUNT(*) AS n_vecs, round(AVG(sqrt({norm})), 4) AS mean_norm
         FROM {table} GROUP BY label
     """
+
+
+def ivf_assign_gemm(spark: SparkSession, sf_dir: str,
+                    n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """Quantizer assignment as one BLAS GEMM per Arrow batch — the scale
+    path `_ivf_model`'s docstring promises, as code: scores for a batch
+    of vectors against all C centroids are ``||c||² − 2·X@Cᵀ`` computed
+    by numpy (vectorized, no per-row Python), argmin ties broken to the
+    lowest cell id (numpy argmin picks the first occurrence; centroids
+    are ordered by cell).
+
+    The SQL assignment folds each dot product sequentially while BLAS
+    sums pairwise/blocked, so raw doubles can differ in the last ulps —
+    both paths therefore round scores to 6 decimals (the same floor
+    idiom), and equality of the resulting assignment on real data is
+    pinned by tests/test_ivf.py::test_gemm_assignment_matches_sql.
+    This is the physical variant for 10^9-vector index builds: one
+    mapInPandas pass, centroids broadcast in the closure (C×D doubles —
+    KBs), zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    _, cents = _ivf_model(spark, sf_dir, n_cells)
+    rows = sorted((r["cell"], r["cvec"]) for r in cents.collect())
+    cell_ids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)  # (C, D)
+    c_norms = (C * C).sum(axis=1)  # (C,)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (B, D)
+            scores = c_norms[None, :] - 2.0 * (X @ C.T)  # (B, C)
+            scores = np.floor(scores * 1e6 + 0.5) / 1e6
+            cells = cell_ids[np.argmin(scores, axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cells})
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return emb.mapInPandas(assign, "vec_id long, cell long")

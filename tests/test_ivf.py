@@ -70,3 +70,25 @@ def test_ivf_cells_partition_all_vectors(spark):
     assert len(dist) > 1  # the quantizer actually splits the space
     assert sum(r["count"] for r in dist) == n
     assert {r["cell"] for r in dist} <= set(range(similarity.N_IVF_CELLS))
+
+
+def test_gemm_assignment_matches_sql(spark):
+    """The Arrow-batched GEMM assignment (the 10^9-vector build path)
+    must produce exactly the SQL quantizer's cells on real data, at
+    both test scale factors."""
+    from pdf_extractor2_spark.operators.similarity import (
+        ivf_assign_gemm,
+        ivf_cell_assignments,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sql_cells = {
+            r["vec_id"]: r["cell"] for r in ivf_cell_assignments(spark, sf).collect()
+        }
+        gemm_cells = {
+            r["vec_id"]: r["cell"] for r in ivf_assign_gemm(spark, sf).collect()
+        }
+        assert len(sql_cells) == len(gemm_cells) and sql_cells
+        assert {k: int(v) for k, v in sql_cells.items()} == {
+            k: int(v) for k, v in gemm_cells.items()
+        }, sf

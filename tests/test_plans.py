@@ -246,3 +246,23 @@ def test_range_join_hot_user_bounded(spark):
         for p in range(0, n, 100)
     }
     assert got == want, (sorted(got.items())[:3], sorted(want.items())[:3])
+
+
+def test_training_corpus_filter_scans_documents_once(spark):
+    """The composed filter references the quality-filtered table from
+    two branches (exact-dedup aggregate + survivors join) and the
+    shingle stream from three — all must read persisted scans: ONE
+    FileScan of documents per query."""
+    from pdf_extractor2_spark.operators.dedup import training_corpus_filter
+
+    plan = _plan(training_corpus_filter(spark, "/root/testdata/sf0.001"))
+    assert "documents.parquet" in plan
+    assert _unique_parquet_scans(plan) == 1, plan
+
+
+def test_duplicate_span_stats_scans_documents_once(spark):
+    from pdf_extractor2_spark.operators.dedup import duplicate_span_stats
+
+    plan = _plan(duplicate_span_stats(spark, "/root/testdata/sf0.001"))
+    assert "documents.parquet" in plan
+    assert _unique_parquet_scans(plan) == 1, plan
