@@ -57,6 +57,12 @@ GENERIC_QUERIES = [
     "dedup_minhash_lsh",
     "simhash",
     "ann_cosine_topk",
+    # round-3 training-pipeline additions
+    "duplicate_span_stats",
+    "repetition_stats",
+    "quality_gates",
+    "top_tokens_by_lang",
+    "token_budget_sample",
 ]
 
 

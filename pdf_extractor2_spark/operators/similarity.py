@@ -238,10 +238,19 @@ def ann_ivf_multiprobe(
     return ann_ivf_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, n_probe=3)
 
 
-# measured at sf0.01 vs ground truth (cos >= 0.35): 8 bands x 5 sign dims
-# gives recall 0.53 scoring 22% of all pairs; the old monolithic 8-bit
-# block had recall 0.026.  At larger n, raise band_dims (bucket count is
-# 2^band_dims) to keep per-bucket collision counts bounded.
+# measured recall/cost curve at sf0.01 vs ground truth (cos >= 0.35),
+# exact same banding arithmetic run in DuckDB (n=500, 124,750 pairs,
+# 272 true near-dups; n_bands*band_dims must stay <= EMB_DIMS):
+#   8x5  -> recall 0.53 @ 22% of all pairs   (default)
+#   12x5 -> recall 0.67 @ 32%
+#   12x4 -> recall 0.87 @ 54%
+#   16x4 -> recall 0.96 @ 65%
+# (the round-1 monolithic 8-bit block sat at recall 0.026)
+# More bands buy recall linearly in scored pairs; at larger n raise
+# band_dims (bucket count is 2^band_dims) to keep per-bucket collision
+# counts bounded — these synthetic embeddings are near-uniform, so the
+# candidate fractions above are a worst case (real near-dup corpora
+# cluster, colliding less at the same recall).
 N_SIG_BANDS = 8
 BAND_DIMS = 5
 
