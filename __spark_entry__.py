@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_stats": dedup.duplicate_span_stats,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_knn_join": similarity.ann_knn_join,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe,
         "embedding_label_norms": similarity.label_centroid_norms,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus_filter": dedup.training_corpus_filter_sql(),
         "duplicate_span_stats": dedup.duplicate_span_stats_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(),
+        "ann_knn_join": similarity.ann_knn_join_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "ann_ivf_multiprobe": similarity.ann_ivf_multiprobe_sql(),
         "embedding_label_norms": similarity.label_centroid_norms_sql(),

@@ -494,3 +494,84 @@ def ivf_assign_gemm(spark: SparkSession, sf_dir: str,
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     return emb.mapInPandas(assign, "vec_id long, cell long")
+
+
+def ann_knn_join(spark: SparkSession, sf_dir: str,
+                 n_queries: int = 10, k: int = 5,
+                 n_buckets: int = 32) -> DataFrame:
+    """Batch KNN join: the top-k cosine neighbors for EVERY query in a
+    query set (here the ``n_queries`` lowest vec_ids), as ONE plan —
+    similarity search as a relational join, not a per-query loop.
+
+    Skew-safe hierarchical top-k instead of a per-query window: a
+    window/sort partitioned by q_id would sort all n corpus rows on one
+    reducer per query.  Phase 1 groups by (q_id, vec_id % n_buckets)
+    and keeps each bucket's top-k as a bounded sorted array (collect
+    input per key is n/n_buckets rows — the knob that bounds reducer
+    memory); phase 2 merges n_buckets arrays of ≤k per query (bounded)
+    and explodes the final ranking.  Struct sort key (-cos, vec_id)
+    gives cosine-descending with deterministic tie-break in both
+    phases.  The query set rides as a broadcast; dot products are the
+    JVM fold shared with ann_cosine_topk, so the DuckDB oracle (a plain
+    row_number window — same result, different physical plan) hashes
+    identically."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    dot = _DOT.format(a="embedding", b="q")
+    na = _DOT.format(a="embedding", b="embedding")
+    nb = _DOT.format(a="q", b="q")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)").alias("cos_sim"),
+        )
+    )
+    part = (
+        scored.groupBy("q_id", (F.col("vec_id") % F.lit(n_buckets)).alias("b"))
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(named_struct("
+                f"'nc', -cos_sim, 'vec_id', vec_id))), 1, {k})"
+            ).alias("topk")
+        )
+    )
+    return (
+        part.groupBy("q_id")
+        .agg(
+            F.expr(
+                f"slice(array_sort(flatten(collect_list(topk))), 1, {k})"
+            ).alias("topk")
+        )
+        .select("q_id", F.posexplode("topk").alias("pos", "s"))
+        .select(
+            "q_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.vec_id").alias("vec_id"),
+            (-F.col("s.nc")).alias("cos_sim"),
+        )
+    )
+
+
+def ann_knn_join_sql(table: str = "embeddings", n_queries: int = 10,
+                     k: int = 5) -> str:
+    dot = _DOT_SQL.format(a="e.embedding", b="q.embedding")
+    na = _DOT_SQL.format(a="e.embedding", b="e.embedding")
+    nb = _DOT_SQL.format(a="q.embedding", b="q.embedding")
+    return f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) AS cos_sim
+          FROM {table} e JOIN {table} q
+            ON q.vec_id < {n_queries} AND e.vec_id != q.vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= {k}
+    """

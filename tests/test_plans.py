@@ -266,3 +266,18 @@ def test_duplicate_span_stats_scans_documents_once(spark):
     plan = _plan(duplicate_span_stats(spark, "/root/testdata/sf0.001"))
     assert "documents.parquet" in plan
     assert _unique_parquet_scans(plan) == 1, plan
+
+
+def test_knn_join_is_broadcast_and_sortless(spark):
+    """The batch KNN join must broadcast the query set and rank via the
+    two-phase bounded aggregate — no window Sort over corpus rows, no
+    cartesian against a non-broadcast side."""
+    from pdf_extractor2_spark.operators.similarity import ann_knn_join
+
+    plan = _plan(ann_knn_join(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan, plan
+    # two hash aggregates (bucket top-k, final merge), no global Sort
+    import re
+
+    assert not re.search(r"^\(\d+\) Sort", plan, re.M), plan
