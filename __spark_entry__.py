@@ -192,6 +192,43 @@ def multimodal_features_sql() -> str:
     """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the synthesized pages: one document
+    → N typed frame rows, every column DuckDB-recomputable (character
+    offsets + sha256 of the slice's UTF-8 bytes)."""
+    return multimodal.media_frame_sample(_pages_from_documents(spark, sf_dir))
+
+
+def multimodal_frames_sql() -> str:
+    n_frames, chunk = multimodal.N_FRAMES, multimodal.FRAME_CHUNK
+    hexv = "(strpos('0123456789abcdef', substr(frame_sig, {pos}, 1)) - 1)"
+    luma = f"(16 * {hexv.format(pos=1)} + {hexv.format(pos=2)}) / 256.0"
+    return f"""
+        WITH pages AS (
+          SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title></head><body><article><p>' || text
+                   || '</p></article></body></html>' AS payload
+          FROM documents),
+        frames AS (
+          SELECT url,
+                 CAST(i AS INTEGER) AS frame_idx,
+                 CAST((i * length(payload)) // {n_frames} AS BIGINT) AS frame_off,
+                 CAST(LEAST({chunk}, length(payload)
+                            - (i * length(payload)) // {n_frames}) AS BIGINT)
+                   AS frame_len,
+                 sha256(substr(payload,
+                               CAST((i * length(payload)) // {n_frames} AS BIGINT) + 1,
+                               LEAST({chunk}, length(payload)
+                                     - (i * length(payload)) // {n_frames})))
+                   AS frame_sig
+          FROM pages CROSS JOIN generate_series(0, {n_frames - 1}) t(i))
+        SELECT url, frame_idx, frame_off, frame_len, frame_sig,
+               {luma} AS luma
+        FROM frames
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -207,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": extract_pipeline,
         "extract_text_roundtrip": extract_text_roundtrip,
         "multimodal_features": multimodal_features,
+        "multimodal_frames": multimodal_frames,
         # relational core (SURVEY.md §2.5-§2.8 corpus-level analogues)
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -264,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pipeline": extract_pipeline_sql(),
         "extract_text_roundtrip": extract_text_roundtrip_sql(),
         "multimodal_features": multimodal_features_sql(),
+        "multimodal_frames": multimodal_frames_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "parts_by_brand": relational.parts_by_brand_sql(),

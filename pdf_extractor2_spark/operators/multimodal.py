@@ -94,3 +94,64 @@ def media_features_kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFr
 def media_features(pages: DataFrame) -> DataFrame:
     """Binary-column feature extraction: Arrow-batched, schema-typed."""
     return pages.select("url", "html").mapInPandas(media_features_kernel, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("frame_off", T.LongType(), True),
+    T.StructField("frame_len", T.LongType(), True),
+    T.StructField("frame_sig", T.StringType(), True),
+    T.StructField("luma", T.DoubleType(), True),
+])
+
+N_FRAMES = 4
+FRAME_CHUNK = 64
+
+
+def media_frame_sample_kernel(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame-sampling plumbing for video-like payloads: N evenly-spaced
+    "frames" per document, each a fixed-size window with a per-frame
+    digest signature and a stub luma statistic.  The decode step is the
+    honest stub (no codecs in this container): frames are windows over
+    the payload's decoded text, offsets in CHARACTERS so the DuckDB
+    oracle (substr on VARCHAR + sha256, which hashes the slice's UTF-8
+    bytes — exactly this kernel's re-encode) reproduces every value.
+    A real deployment swaps the window slicing for ffmpeg keyframe
+    extraction; the explode shape (one input row → N typed frame
+    rows), Arrow batching and schema stay identical."""
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            if payload is None or len(payload) == 0:
+                continue
+            txt = bytes(payload).decode("utf-8", errors="replace")
+            n = len(txt)
+            if n == 0:
+                continue
+            for i in range(N_FRAMES):
+                off = (i * n) // N_FRAMES
+                ln = min(FRAME_CHUNK, n - off)
+                digest = hashlib.sha256(txt[off:off + ln].encode("utf-8")).hexdigest()
+                rows.append({
+                    "url": url,
+                    "frame_idx": i,
+                    "frame_off": off,
+                    "frame_len": ln,
+                    "frame_sig": digest,
+                    "luma": int(digest[:2], 16) / 256.0,
+                })
+        yield pd.DataFrame(
+            rows,
+            columns=["url", "frame_idx", "frame_off", "frame_len",
+                     "frame_sig", "luma"],
+        )
+
+
+def media_frame_sample(pages: DataFrame) -> DataFrame:
+    """One input document → N typed frame rows (mapInPandas explode)."""
+    return pages.select("url", "html").mapInPandas(
+        media_frame_sample_kernel, FRAME_SCHEMA
+    )

@@ -486,6 +486,8 @@ def ivf_assign_gemm(spark: SparkSession, sf_dir: str,
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # defensive: empty Arrow batch
+                continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (B, D)
             scores = c_norms[None, :] - 2.0 * (X @ C.T)  # (B, C)
             scores = np.floor(scores * 1e6 + 0.5) / 1e6
