@@ -192,6 +192,38 @@ def multimodal_features_sql() -> str:
     """
 
 
+def extract_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked structured-spans channel: per url, total span
+    count and per-kind counts parsed from the kernel's ``spans_json``
+    with Spark's JSON functions.  On the entity-synthesized pages every
+    block is predictable — 1 title + 1 body paragraph + the KONTAKTER
+    and PROJEKTER marker lines + doc_id%3 contact lines + 1+doc_id%4
+    project lines — so the oracle is closed-form over ``documents``
+    (body text is always ≥ 3 chars corpus-wide, the block minimum)."""
+    results = run_extract(_pages_with_entities(spark, sf_dir), num_buckets=32)
+    kinds = "from_json(spans_json, 'array<struct<kind:string>>')"
+    return results.select(
+        "url",
+        F.expr("cast(json_array_length(spans_json) as int)").alias("n_spans"),
+        F.expr(
+            f"cast(size(filter({kinds}, s -> s.kind = 'title')) as int)"
+        ).alias("n_title_spans"),
+        F.expr(
+            f"cast(size(filter({kinds}, s -> s.kind = 'paragraph')) as int)"
+        ).alias("n_paragraph_spans"),
+    )
+
+
+def extract_spans_stats_sql() -> str:
+    return """
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(5 + doc_id % 3 + doc_id % 4 AS INTEGER) AS n_spans,
+               CAST(1 AS INTEGER) AS n_title_spans,
+               CAST(4 + doc_id % 3 + doc_id % 4 AS INTEGER) AS n_paragraph_spans
+        FROM documents
+    """
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over the synthesized pages: one document
     → N typed frame rows, every column DuckDB-recomputable (character
@@ -243,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (flagship + oracle-checked text path)
         "extract_pipeline": extract_pipeline,
         "extract_text_roundtrip": extract_text_roundtrip,
+        "extract_spans_stats": extract_spans_stats,
         "multimodal_features": multimodal_features,
         "multimodal_frames": multimodal_frames,
         # relational core (SURVEY.md §2.5-§2.8 corpus-level analogues)
@@ -301,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_pipeline": extract_pipeline_sql(),
         "extract_text_roundtrip": extract_text_roundtrip_sql(),
+        "extract_spans_stats": extract_spans_stats_sql(),
         "multimodal_features": multimodal_features_sql(),
         "multimodal_frames": multimodal_frames_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
