@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": relational.price_percentiles,
         "stratified_sample": relational.stratified_sample,
         "token_budget_sample": relational.token_budget_sample,
+        "conversion_funnel": relational.conversion_funnel,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": relational.price_percentiles_sql(),
         "stratified_sample": relational.stratified_sample_sql(),
         "token_budget_sample": relational.token_budget_sample_sql(),
+        "conversion_funnel": relational.conversion_funnel_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),

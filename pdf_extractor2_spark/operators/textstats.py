@@ -340,28 +340,34 @@ def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The mean-word-length band compares the RAW double (identical in
     both engines: integer sum / integer count); only the reported
-    column is rounded."""
+    column is rounded.  The token-length fold is projected ONCE (``ml``)
+    and every gate references the projection — inlining it would run
+    the O(tokens) fold three times per row in codegen."""
     mean_len = (
         "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
         " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
     )
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", "text", F.expr("split(text, ' ')").alias("toks")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text", F.expr("split(text, ' ')").alias("toks"))
+        .select(
+            "doc_id", "lang", "text", "toks", F.expr(mean_len).alias("ml")
+        )
     )
     return d.select(
         "doc_id",
         "lang",
         F.expr("cast(size(toks) as long)").alias("n_words"),
-        F.expr(_f6(mean_len)).alias("mean_word_len"),
+        F.expr(_f6("ml")).alias("mean_word_len"),
         F.expr("size(toks) >= 50").alias("has_min_words"),
         F.expr(
-            f"({mean_len}) >= CAST(3 AS DOUBLE) AND ({mean_len}) <= CAST(10 AS DOUBLE)"
+            "ml >= CAST(3 AS DOUBLE) AND ml <= CAST(10 AS DOUBLE)"
         ).alias("word_len_ok"),
         F.expr("NOT contains(lower(text), 'lorem ipsum')").alias("no_lorem"),
         F.expr("NOT contains(text, '{')").alias("no_brace"),
         F.expr(
-            f"size(toks) >= 50 AND ({mean_len}) >= CAST(3 AS DOUBLE)"
-            f" AND ({mean_len}) <= CAST(10 AS DOUBLE)"
+            "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
+            " AND ml <= CAST(10 AS DOUBLE)"
             " AND NOT contains(lower(text), 'lorem ipsum')"
             " AND NOT contains(text, '{')"
         ).alias("kept"),

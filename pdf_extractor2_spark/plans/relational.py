@@ -671,6 +671,84 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
     """
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per user,
+    which prefix of the funnel they completed IN ORDER, then one
+    corpus-level row per funnel stage.
+
+    Shape: ONE hash aggregate computes each user's first view / first
+    click-after-any-view / first purchase-after-that via conditional
+    MINs over epoch (no window, no sort, no self-join — min/count are
+    partial-aggregable, so the plan is two aggregates end to end and a
+    hot user costs the same as a cold one).  Strictly-ordered semantics:
+    stage k counts only if its earliest qualifying event is strictly
+    after stage k-1's.  The DuckDB oracle computes the identical
+    conditional MINs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("epoch"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("epoch"))).alias("t_view"),
+        F.expr(
+            "min(case when event_type = 'click' then epoch end)"
+        ).alias("t_click_any"),
+        F.expr(
+            "min(case when event_type = 'purchase' then epoch end)"
+        ).alias("t_purch_any"),
+    )
+    # strictly-ordered stages from the three first-times (click must be
+    # after the first view; purchase after that click)
+    staged = per_user.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("did_view"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_any").isNotNull()
+            & (F.col("t_click_any") > F.col("t_view"))
+        ).alias("did_click"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_any").isNotNull()
+            & (F.col("t_click_any") > F.col("t_view"))
+            & F.col("t_purch_any").isNotNull()
+            & (F.col("t_purch_any") > F.col("t_click_any"))
+        ).alias("did_purchase"),
+    )
+    return staged.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("did_view").cast("long")).alias("n_view"),
+        F.sum(F.col("did_click").cast("long")).alias("n_view_click"),
+        F.sum(F.col("did_purchase").cast("long")).alias("n_view_click_purchase"),
+    )
+
+
+def conversion_funnel_sql() -> str:
+    return """
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS t_click_any,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS t_purch_any
+          FROM events GROUP BY user_id),
+        staged AS (
+          SELECT user_id,
+                 t_view IS NOT NULL AS did_view,
+                 t_view IS NOT NULL AND t_click_any IS NOT NULL
+                   AND t_click_any > t_view AS did_click,
+                 t_view IS NOT NULL AND t_click_any IS NOT NULL
+                   AND t_click_any > t_view AND t_purch_any IS NOT NULL
+                   AND t_purch_any > t_click_any AS did_purchase
+          FROM per_user)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN did_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN did_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+               CAST(SUM(CASE WHEN did_purchase THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_view_click_purchase
+        FROM staged
+    """
+
+
 def token_budget_sample(spark: SparkSession, sf_dir: str,
                         budget_tokens: int = 60_000,
                         n_buckets: int = 8) -> DataFrame:
