@@ -39,6 +39,18 @@ MAX_SHINGLE_DF = 100
 HASH_A = [(1103515245 * (i + 1)) % P31 for i in range(N_HASHES)]
 HASH_B = [(12345 * (i + 1) + 711) % P31 for i in range(N_HASHES)]
 
+def round_half_up_expr(x: str, decimals: int) -> str:
+    """THE cross-engine round-half-up idiom (CLAUDE.md): round() diverges
+    between Spark and DuckDB on halfway doubles; this expression text is
+    valid in BOTH engines, so they run the identical double arithmetic.
+    Single definition — every operator builds its rounding from here."""
+    scale = 10 ** decimals
+    return (
+        f"floor(({x}) * CAST({scale} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST({scale} AS DOUBLE)"
+    )
+
+
 # inline 56-bit shingle hash — identical fold in Spark SQL and DuckDB
 _SID_EXPR = (
     "aggregate(transform(split(shingle, ''), c -> ascii(c)),"
@@ -596,16 +608,24 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFr
     Training pipelines drop or trim documents whose duplicated-span
     fraction is high even when whole-document near-dup misses them.
 
-    Plan: ONE persisted (doc_id, window-hash) stream feeds all three
-    consumers (per-window df count — partial-aggregable, skew-safe; the
-    per-doc totals; the join back against duplicated windows).  The join
+    Every document appears in the output — a doc shorter than k tokens
+    has zero windows and reports (n_spans=0, dup_span_frac=0) rather
+    than silently vanishing (downstream "drop high-dup docs" joins must
+    see an explicit zero, not a missing row).
+
+    Plan: ONE persisted base scan feeds the doc_id universe and the
+    (doc_id, window-hash) stream; the stream feeds its three consumers
+    (per-window df count — partial-aggregable, skew-safe; the per-doc
+    totals; the join back against duplicated windows).  The join
     streams hot windows through a hash join — no posting-list arrays
     materialize anywhere, so there is nothing for a boilerplate window
     to OOM."""
     _scoped_clear()
-    raw = _scoped_persist(
+    base = _scoped_persist(
         _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
-        .select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
+    )
+    raw = _scoped_persist(
+        base.select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
         .select("doc_id", F.explode(F.expr(_kgram_spark(k))).alias("shingle"))
         .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
     )
@@ -621,15 +641,14 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFr
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_spans"))
     )
-    frac = (
-        "floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * CAST(1000000 AS DOUBLE)"
-        " + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
-    )
+    frac = round_half_up_expr("CAST(n_dup_spans AS DOUBLE) / n_spans", 6)
     return (
-        per_doc.join(dup_per_doc, "doc_id", "left")
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         )
         .withColumn(
@@ -640,10 +659,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFr
 
 
 def duplicate_span_stats_sql(table: str = "documents", k: int = 8) -> str:
-    frac = (
-        "floor((CAST(n_dup_spans AS DOUBLE) / n_spans) * CAST(1000000 AS DOUBLE)"
-        " + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
-    )
+    frac = round_half_up_expr("CAST(n_dup_spans AS DOUBLE) / n_spans", 6)
     return f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
         ex AS (SELECT doc_id, unnest(CASE WHEN len(t) < {k} THEN []
@@ -658,7 +674,10 @@ def duplicate_span_stats_sql(table: str = "documents", k: int = 8) -> str:
         SELECT doc_id, n_spans, n_dup_spans,
                CASE WHEN n_spans = 0 THEN CAST(0 AS DOUBLE)
                     ELSE {frac} END AS dup_span_frac
-        FROM (SELECT p.doc_id, n_spans,
+        FROM (SELECT b.doc_id,
+                     COALESCE(p.n_spans, 0) AS n_spans,
                      COALESCE(d.n_dup_spans, 0) AS n_dup_spans
-              FROM per_doc p LEFT JOIN dup_per_doc d USING (doc_id))
+              FROM (SELECT doc_id FROM {table}) b
+              LEFT JOIN per_doc p USING (doc_id)
+              LEFT JOIN dup_per_doc d USING (doc_id))
     """

@@ -19,15 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _r6(x: str) -> str:
-    """Round-half-up to 6 decimals via the repo's cross-engine floor idiom
-    (CLAUDE.md): round() diverges between Spark and DuckDB on halfway
-    doubles, and one flipped 6th-decimal centroid component would cascade
-    into a different cell assignment.  The expression text is valid in
-    BOTH engines, so they run the identical double arithmetic."""
-    return (
-        f"floor(({x}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    """Round-half-up to 6 decimals (one flipped 6th-decimal centroid
+    component would cascade into a different cell assignment) — the
+    shared cross-engine idiom from operators/dedup.py."""
+    from .dedup import round_half_up_expr
+
+    return round_half_up_expr(x, 6)
 
 
 _DOT = (
@@ -524,13 +521,19 @@ def ann_knn_join(spark: SparkSession, sf_dir: str,
     dot = _DOT.format(a="embedding", b="q")
     na = _DOT.format(a="embedding", b="embedding")
     nb = _DOT.format(a="q", b="q")
+    from .dedup import round_half_up_expr
+
     scored = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)").alias("cos_sim"),
+            # the rounded value is the RANKING key — use the halfway-safe
+            # idiom (a round() halfway divergence would reorder ranks)
+            F.expr(
+                round_half_up_expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))", 4)
+            ).alias("cos_sim"),
         )
     )
     part = (
@@ -561,13 +564,16 @@ def ann_knn_join(spark: SparkSession, sf_dir: str,
 
 def ann_knn_join_sql(table: str = "embeddings", n_queries: int = 10,
                      k: int = 5) -> str:
+    from .dedup import round_half_up_expr
+
     dot = _DOT_SQL.format(a="e.embedding", b="q.embedding")
     na = _DOT_SQL.format(a="e.embedding", b="e.embedding")
     nb = _DOT_SQL.format(a="q.embedding", b="q.embedding")
+    cos = round_half_up_expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))", 4)
     return f"""
         WITH scored AS (
           SELECT q.vec_id AS q_id, e.vec_id,
-                 round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) AS cos_sim
+                 {cos} AS cos_sim
           FROM {table} e JOIN {table} q
             ON q.vec_id < {n_queries} AND e.vec_id != q.vec_id),
         ranked AS (

@@ -243,13 +243,12 @@ def top_tokens_sql(table: str = "documents", k: int = 30) -> str:
 # ---------------------------------------------------------------------------
 
 def _f6(x: str) -> str:
-    """Cross-engine round-half-up to 6 decimals (CLAUDE.md floor idiom —
-    ratios of small integers DO land on exact binary halfway points,
-    e.g. 1/128, where Spark round() and DuckDB round() disagree)."""
-    return (
-        f"floor(({x}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    """Cross-engine round-half-up to 6 decimals (ratios of small
+    integers DO land on exact binary halfway points, e.g. 1/128) — the
+    shared idiom from operators/dedup.py."""
+    from .dedup import round_half_up_expr
+
+    return round_half_up_expr(x, 6)
 
 
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

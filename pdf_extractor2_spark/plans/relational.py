@@ -674,78 +674,87 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
 def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (view → click → purchase): per user,
     which prefix of the funnel they completed IN ORDER, then one
-    corpus-level row per funnel stage.
+    corpus-level summary row.
 
-    Shape: ONE hash aggregate computes each user's first view / first
-    click-after-any-view / first purchase-after-that via conditional
-    MINs over epoch (no window, no sort, no self-join — min/count are
-    partial-aggregable, so the plan is two aggregates end to end and a
-    hot user costs the same as a cold one).  Strictly-ordered semantics:
-    stage k counts only if its earliest qualifying event is strictly
-    after stage k-1's.  The DuckDB oracle computes the identical
-    conditional MINs."""
+    Strict semantics: stage k's timestamp is the earliest qualifying
+    event STRICTLY AFTER stage k-1's timestamp — a click that precedes
+    the user's first view does not complete the click stage (the first
+    click AFTER the first view does, even when an earlier stray click
+    exists).  Computed as three stacked whole-partition window MINs
+    (``PARTITION BY user_id`` with no ORDER BY — one shuffle, NO sort:
+    an unordered window frame is a per-group aggregate, so a hot user
+    streams), then one distinct-per-user reduction and one global
+    aggregate.  The DuckDB oracle runs the identical window MINs."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type",
         F.col("ts").cast("timestamp").cast("double").alias("epoch"),
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("epoch"))).alias("t_view"),
-        F.expr(
-            "min(case when event_type = 'click' then epoch end)"
-        ).alias("t_click_any"),
-        F.expr(
-            "min(case when event_type = 'purchase' then epoch end)"
-        ).alias("t_purch_any"),
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("epoch"))
+    ).over(w)
+    staged1 = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("epoch") > F.col("t_view")),
+            F.col("epoch"),
+        )
+    ).over(w)
+    staged2 = staged1.withColumn("t_click", t_click)
+    t_purch = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("epoch") > F.col("t_click")),
+            F.col("epoch"),
+        )
+    ).over(w)
+    per_user = (
+        staged2.withColumn("t_purch", t_purch)
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purch").alias("t_purch"),
+        )
     )
-    # strictly-ordered stages from the three first-times (click must be
-    # after the first view; purchase after that click)
-    staged = per_user.select(
-        "user_id",
-        F.col("t_view").isNotNull().alias("did_view"),
-        (
-            F.col("t_view").isNotNull()
-            & F.col("t_click_any").isNotNull()
-            & (F.col("t_click_any") > F.col("t_view"))
-        ).alias("did_click"),
-        (
-            F.col("t_view").isNotNull()
-            & F.col("t_click_any").isNotNull()
-            & (F.col("t_click_any") > F.col("t_view"))
-            & F.col("t_purch_any").isNotNull()
-            & (F.col("t_purch_any") > F.col("t_click_any"))
-        ).alias("did_purchase"),
-    )
-    return staged.agg(
+    return per_user.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.sum(F.col("did_view").cast("long")).alias("n_view"),
-        F.sum(F.col("did_click").cast("long")).alias("n_view_click"),
-        F.sum(F.col("did_purchase").cast("long")).alias("n_view_click_purchase"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_view_click"),
+        F.sum(F.col("t_purch").isNotNull().cast("long")).alias("n_view_click_purchase"),
     )
 
 
 def conversion_funnel_sql() -> str:
     return """
-        WITH per_user AS (
-          SELECT user_id,
-                 MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t_view,
-                 MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS t_click_any,
-                 MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS t_purch_any
-          FROM events GROUP BY user_id),
-        staged AS (
-          SELECT user_id,
-                 t_view IS NOT NULL AS did_view,
-                 t_view IS NOT NULL AND t_click_any IS NOT NULL
-                   AND t_click_any > t_view AS did_click,
-                 t_view IS NOT NULL AND t_click_any IS NOT NULL
-                   AND t_click_any > t_view AND t_purch_any IS NOT NULL
-                   AND t_purch_any > t_click_any AS did_purchase
-          FROM per_user)
+        WITH s1 AS (
+          SELECT user_id, event_type, epoch(ts) AS epoch,
+                 MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events),
+        s2 AS (
+          SELECT *,
+                 MIN(CASE WHEN event_type = 'click' AND epoch > t_view
+                          THEN epoch END)
+                   OVER (PARTITION BY user_id) AS t_click
+          FROM s1),
+        s3 AS (
+          SELECT *,
+                 MIN(CASE WHEN event_type = 'purchase' AND epoch > t_click
+                          THEN epoch END)
+                   OVER (PARTITION BY user_id) AS t_purch
+          FROM s2),
+        per_user AS (
+          SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+                 MIN(t_purch) AS t_purch
+          FROM s3 GROUP BY user_id)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(SUM(CASE WHEN did_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-               CAST(SUM(CASE WHEN did_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-               CAST(SUM(CASE WHEN did_purchase THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_view,
+               CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_view_click,
+               CAST(SUM(CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_view_click_purchase
-        FROM staged
+        FROM per_user
     """
 
 
@@ -756,8 +765,13 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
     build a training mix by taking documents per language until a token
     budget is hit).  Documents are consumed in pseudo-random hash order
     (the repo's LCG idiom — no RNG state, reproducible across engines
-    and restarts); a document is kept iff it fits entirely within the
-    remaining budget of its bucket.
+    and restarts) with PREFIX semantics: each bucket takes the longest
+    prefix of its hash-ordered documents whose running token total fits
+    the bucket budget — the first overflowing document ends the
+    bucket's intake (later smaller docs are NOT back-filled; prefix
+    truncation keeps the selection a pure function of the order, so
+    adding or removing one document never reshuffles which other
+    documents are selected).
 
     Skew-aware by construction: the per-language budget is split evenly
     over ``n_buckets`` hash buckets and the cumulative-sum window

@@ -72,10 +72,17 @@ def _heavy(key, pdf_iter, state: GroupState):
     else:
         counters = {}
 
-    batch = pd.concat(list(pdf_iter))
-    # deterministic fold order: token-sorted batch counts
-    for token, c in sorted(batch.groupby("token").size().items()):
-        _mg_update(counters, str(token), int(c), MG_CAPACITY)
+    # fold Arrow chunk by chunk — NEVER pd.concat the whole micro-batch
+    # (with availableNow and no maxFilesPerTrigger the first batch is
+    # the entire backlog; concatenating it would be O(shard-substream)
+    # memory, defeating the bounded-state point).  Per-chunk counts are
+    # merge-associative, so the exact-regime result is split-invariant;
+    # fold order within a chunk is token-sorted for determinism.
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        for token, c in sorted(pdf.groupby("token").size().items()):
+            _mg_update(counters, str(token), int(c), MG_CAPACITY)
 
     items = sorted(counters.items())
     state.update((

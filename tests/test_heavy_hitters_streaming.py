@@ -9,7 +9,7 @@ import random
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from pdf_extractor2_spark.streaming.heavy_hitters import (
     MG_CAPACITY,
@@ -47,16 +47,12 @@ def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
     q = stream_heavy_hitters(spark, str(grow), ckpt, out)
     q.awaitTermination(180)
 
-    latest_batch = (
-        spark.read.parquet(out)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("shard", "token").orderBy(F.desc("batch_id"))
-            ),
-        )
-        .where("rn = 1")
-    )
+    # the converged summary is the ROW SET of each shard's latest batch
+    # (per-(shard, token) latest would resurrect tokens evicted from an
+    # over-capacity MG table — stale rows from earlier batches)
+    all_rows = spark.read.parquet(out)
+    last = all_rows.groupBy("shard").agg(F.max("batch_id").alias("batch_id"))
+    latest_batch = all_rows.join(last, ["shard", "batch_id"])
     got = {
         (r["token"]): r["mg_count"]
         for r in latest_batch.select("token", "mg_count").collect()
