@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pdf_extractor2_spark.operators import dedup, multimodal, similarity, textstats
+from pdf_extractor2_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+    webcorpus,
+)
 from pdf_extractor2_spark.plans import relational
 from pdf_extractor2_spark.plans.extract_job import run_extract
 
@@ -313,6 +319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": textstats.repetition_stats,
         "quality_gates": textstats.quality_gates,
         "top_tokens_by_lang": textstats.top_tokens_by_lang,
+        # web-corpus management (Common-Crawl-shaped pages)
+        "latest_page_version": webcorpus.latest_page_version,
+        "host_stats": webcorpus.host_stats,
+        "pii_stats": webcorpus.pii_stats,
+        "benchmark_contamination": webcorpus.benchmark_contamination,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -371,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textstats.repetition_stats_sql(),
         "quality_gates": textstats.quality_gates_sql(),
         "top_tokens_by_lang": textstats.top_tokens_by_lang_sql(),
+        "latest_page_version": webcorpus.latest_page_version_sql(),
+        "host_stats": webcorpus.host_stats_sql(),
+        "pii_stats": webcorpus.pii_stats_sql(),
+        "benchmark_contamination": webcorpus.benchmark_contamination_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

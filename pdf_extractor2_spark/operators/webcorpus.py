@@ -1,0 +1,346 @@
+"""Web-corpus management operators over Common-Crawl-shaped pages.
+
+The production input (BASELINE.json ``input_hint``) is an Iceberg table
+of pages ``(url, warc_ts, html, text, lang)``.  The sandbox testdata
+carries ``documents(doc_id, text, lang, source, n_chars)``, so each
+operator first derives the web columns DETERMINISTICALLY from ``doc_id``
+with identical integer arithmetic in Spark and DuckDB (no RNG, no
+engine-private hash) — the url space is constructed to collide
+(``doc_id % 7`` hosts × ``doc_id % 25`` paths → same url iff
+``doc_id ≡ mod 175``), so recrawl semantics are non-trivial at sf0.01.
+
+Operators (each a ``queries()`` entry with a DuckDB oracle twin):
+
+- ``latest_page_version`` — recrawl dedup: keep the newest capture per
+  url (what a Common-Crawl consumer does before any text processing).
+  ONE hash aggregate; ``max_by``/``arg_max`` carry constant per-key
+  state, so a url recrawled 10^6 times costs the same as one crawled
+  twice.  No reference counterpart (the reference processes one
+  document per request, app.py:72-135); this is the corpus-level
+  operation its per-document pipeline plugs into.
+- ``host_stats`` — per-host corpus profile (doc/url counts, char mass,
+  corpus share).  The denominator joins in via a broadcast of the
+  1-row global aggregate — NOT an unpartitioned window, which would
+  funnel every row through a single reducer at scale.
+- ``pii_stats`` — email/phone detection + scrub accounting per page:
+  pure JVM regexp expressions (whole-stage codegen, no Python), the
+  patterns chosen to behave identically under Java regex (Spark) and
+  RE2 (DuckDB) — character classes only, no lookaround, explicit
+  group 0.  Deterministically injected PII (``doc_id % 7`` emails,
+  ``doc_id % 11`` phones) makes the expected counts closed-form.
+- ``benchmark_contamination`` — n-gram decontamination: which corpus
+  documents share a k-token window with a held-out benchmark set
+  (here: ``doc_id % 83 == 0`` stands in for the benchmark).  The
+  benchmark's shingle-id set is tiny relative to the corpus, so the
+  overlap check is a BROADCAST semi join against the corpus shingle
+  stream — the corpus side never shuffles until the per-doc count
+  aggregate (partial-aggregable).  This is the scale shape of
+  real decontamination (benchmark ≪ corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import (
+    _SID_EXPR,
+    _SID_SQL,
+    _TOKS_EXPR,
+    _docs,
+    _kgram_duck,
+    _kgram_spark,
+    _scoped_clear,
+    _scoped_persist,
+    _spread,
+    round_half_up_expr,
+)
+
+# regex patterns shared verbatim by Spark (Java regex) and DuckDB (RE2):
+# character classes + bounded repetition only — no \d/\b shorthand (kept
+# literal-safe across SQL string escaping), no lookaround (RE2 has none)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+N_HOSTS = 7
+N_PATHS = 25
+EPOCH0 = 1_700_000_000
+TS_STEP = 37
+BENCH_MOD = 83
+
+
+# ---------------------------------------------------------------------------
+# deterministic web view over documents
+# ---------------------------------------------------------------------------
+
+_URL_EXPR = (
+    f"concat('https://host', cast(doc_id % {N_HOSTS} as string),"
+    f" '.example/p', cast(doc_id % {N_PATHS} as string))"
+)
+_URL_SQL = (
+    f"'https://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    f" || '.example/p' || CAST(doc_id % {N_PATHS} AS VARCHAR)"
+)
+_HOST_EXPR = f"concat('host', cast(doc_id % {N_HOSTS} as string), '.example')"
+_HOST_SQL = f"'host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example'"
+_WARC_EXPR = f"cast({EPOCH0} as bigint) + doc_id * {TS_STEP}"
+_WARC_SQL = f"CAST({EPOCH0} AS BIGINT) + doc_id * {TS_STEP}"
+
+
+def _web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + derived (url, host, warc_epoch) capture columns."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.expr(_URL_EXPR).alias("url"),
+        F.expr(_HOST_EXPR).alias("host"),
+        F.expr(_WARC_EXPR).alias("warc_epoch"),
+    )
+
+
+def _web_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, text, lang, n_chars, {_URL_SQL} AS url,"
+        f" {_HOST_SQL} AS host, {_WARC_SQL} AS warc_epoch FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# recrawl dedup: latest capture per url
+# ---------------------------------------------------------------------------
+
+def latest_page_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per url: its newest capture (recrawl dedup).
+
+    Single hash aggregate keyed on url; ``max_by`` keeps constant state
+    per key (newest epoch + its payload columns), so per-url version
+    counts — 2 here, 10^4 for a hot news page at web scale — never
+    change the memory profile.  ``warc_epoch`` is strictly increasing
+    in ``doc_id`` by construction, so ``max_by`` is tie-free and the
+    result is deterministic in both engines."""
+    return (
+        _web(spark, sf_dir)
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_versions"),
+            F.max("warc_epoch").cast("long").alias("latest_warc_epoch"),
+            F.expr("max_by(doc_id, warc_epoch)").cast("long").alias("latest_doc_id"),
+            F.expr("max_by(n_chars, warc_epoch)").cast("long").alias("latest_n_chars"),
+        )
+    )
+
+
+def latest_page_version_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT url,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(MAX(warc_epoch) AS BIGINT) AS latest_warc_epoch,
+               CAST(arg_max(doc_id, warc_epoch) AS BIGINT) AS latest_doc_id,
+               CAST(arg_max(n_chars, warc_epoch) AS BIGINT) AS latest_n_chars
+        FROM ({_web_sql(table)})
+        GROUP BY url
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-host corpus profile
+# ---------------------------------------------------------------------------
+
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host doc/url counts, character mass, and share of the corpus.
+
+    The global denominator is a 1-row aggregate broadcast into a
+    map-side join — never an unpartitioned window (which would shuffle
+    the whole per-host table through one reducer at 10^8 hosts)."""
+    web = _web(spark, sf_dir)
+    per_host = web.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    total = web.agg(F.count("*").cast("double").alias("corpus_docs"))
+    share = round_half_up_expr(
+        "CAST(n_docs AS DOUBLE) / corpus_docs", 6
+    )
+    return (
+        per_host.crossJoin(F.broadcast(total))
+        .select(
+            "host", "n_docs", "n_urls", "total_chars",
+            F.expr(share).alias("docs_share"),
+        )
+    )
+
+
+def host_stats_sql(table: str = "documents") -> str:
+    share = round_half_up_expr("CAST(n_docs AS DOUBLE) / corpus_docs", 6)
+    return f"""
+        WITH web AS ({_web_sql(table)}),
+        per_host AS (
+          SELECT host,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM web GROUP BY host),
+        total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_docs FROM web)
+        SELECT host, n_docs, n_urls, total_chars, {share} AS docs_share
+        FROM per_host CROSS JOIN total
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrub accounting
+# ---------------------------------------------------------------------------
+
+_PII_TEXT_EXPR = (
+    "concat(text,"
+    " case when doc_id % 7 = 0 then concat(' mail user',"
+    " cast(doc_id as string), '@example.com') else '' end,"
+    " case when doc_id % 11 = 0 then concat(' tel 555-010-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end)"
+)
+_PII_TEXT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' mail user'"
+    " || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' tel 555-010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page PII counts and post-scrub length.
+
+    Pure JVM regexp expressions over one projected column — whole-stage
+    codegen, embarrassingly parallel, no shuffle at all (the 100-TB
+    plan is scan → project, nothing else).  Deterministic injected PII
+    makes the counts non-trivial on the synthetic corpus; the regexes
+    themselves also run over the real text, so the oracle checks the
+    full match semantics, not just the injections."""
+    pii = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_TEXT_EXPR).alias("pii_text")
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace("pii_text", F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("pii_text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length("pii_text").cast("long").alias("raw_chars"),
+        F.length(scrub).cast("long").alias("clean_chars"),
+    )
+
+
+def pii_stats_sql(table: str = "documents") -> str:
+    return f"""
+        WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM {table})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               CAST(length(pii_text) AS BIGINT) AS raw_chars,
+               CAST(length(regexp_replace(regexp_replace(pii_text,
+                      '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS clean_chars
+        FROM pii
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_contamination(
+    spark: SparkSession, sf_dir: str, k: int = 8, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Which corpus documents share a verbatim k-token window with the
+    benchmark set (``doc_id % bench_mod == 0``)?  One row per
+    NON-benchmark document: its distinct window count, how many of
+    those windows appear in any benchmark document, the contaminated
+    fraction, and the drop flag.
+
+    Plan: ONE persisted base scan feeds the (doc_id, window-id) stream
+    for both sides.  The benchmark's distinct window-id set is tiny
+    relative to the corpus — real decontamination sets are 10^5-10^6
+    n-grams vs 10^12 documents — so the overlap check is an explicitly
+    broadcast hash join: the corpus shingle stream is filtered map-side
+    and only per-doc COUNTs (partial-aggregable) ever shuffle."""
+    _scoped_clear()
+    base = _scoped_persist(
+        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    )
+    raw = _scoped_persist(
+        base.select("doc_id", F.expr(_TOKS_EXPR).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_kgram_spark(k))).alias("shingle"))
+        .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_sids = raw.where(is_bench).select("sid").distinct()
+    corpus = raw.where(~is_bench)
+    # per-doc window ids are already distinct (the k-gram projection
+    # array_distincts per document), so COUNT(*) == COUNT(DISTINCT sid)
+    per_doc = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(bench_sids), "sid")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = round_half_up_expr("CAST(n_overlap AS DOUBLE) / n_shingles", 6)
+    return (
+        base.select("doc_id")
+        .where(~is_bench)
+        .join(per_doc, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.expr(
+                f"case when n_shingles = 0 then CAST(0 AS DOUBLE)"
+                f" else {frac} end"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def benchmark_contamination_sql(
+    table: str = "documents", k: int = 8, bench_mod: int = BENCH_MOD
+) -> str:
+    frac = round_half_up_expr("CAST(n_overlap AS DOUBLE) / n_shingles", 6)
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+        ex AS (SELECT doc_id, unnest(CASE WHEN len(t) < {k} THEN []
+                                          ELSE {_kgram_duck(k)} END) AS shingle
+               FROM toks),
+        ids AS (SELECT doc_id, {_SID_SQL} AS sid FROM ex),
+        bench_sids AS (SELECT DISTINCT sid FROM ids
+                       WHERE doc_id % {bench_mod} = 0),
+        corpus AS (SELECT * FROM ids WHERE doc_id % {bench_mod} != 0),
+        per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+                    FROM corpus GROUP BY 1),
+        overlap AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                    FROM corpus JOIN bench_sids USING (sid) GROUP BY 1)
+        SELECT doc_id, n_shingles, n_overlap,
+               CASE WHEN n_shingles = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE {frac} END AS contam_frac,
+               n_overlap > 0 AS contaminated
+        FROM (SELECT b.doc_id,
+                     COALESCE(p.n_shingles, 0) AS n_shingles,
+                     COALESCE(o.n_overlap, 0) AS n_overlap
+              FROM (SELECT doc_id FROM {table}
+                    WHERE doc_id % {bench_mod} != 0) b
+              LEFT JOIN per_doc p USING (doc_id)
+              LEFT JOIN overlap o USING (doc_id))
+    """

@@ -1,0 +1,206 @@
+"""Web-corpus operator pins: recrawl latest-version semantics, PII
+regex behavior (identical under Java regex and RE2), contamination
+flagging with the short-doc zero row, and the plan shapes the 100-TB
+story depends on (broadcast contamination join, shuffle-free PII scan)."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor2_spark.operators import webcorpus
+
+
+def _write_docs(path, rows):
+    """rows: list of (doc_id, text).  Full documents schema."""
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["srcT"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(table, str(path / "documents.parquet"))
+
+
+def _duck(path):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet')"
+    )
+    return con
+
+
+def _parity(spark_df, con, sql):
+    got = sorted(tuple(r) for r in spark_df.collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, (got[:5], want[:5])
+    return got
+
+
+# ---------------------------------------------------------------------------
+# latest_page_version
+# ---------------------------------------------------------------------------
+
+def test_latest_page_version_keeps_newest_capture(spark, tmp_path):
+    # doc_ids 0/175/350 collide on the same url (same doc_id % 7 and % 25);
+    # doc_id 1 is a lone capture
+    rows = [(0, "v zero"), (175, "v one"), (350, "v two"), (1, "other page")]
+    _write_docs(tmp_path, rows)
+    out = {
+        r["url"]: r
+        for r in webcorpus.latest_page_version(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 2
+    hot = out["https://host0.example/p0"]
+    assert hot["n_versions"] == 3
+    assert hot["latest_doc_id"] == 350
+    assert hot["latest_warc_epoch"] == 1_700_000_000 + 350 * 37
+    assert hot["latest_n_chars"] == len("v two")
+    assert out["https://host1.example/p1"]["n_versions"] == 1
+
+    _parity(
+        webcorpus.latest_page_version(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.latest_page_version_sql(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_stats
+# ---------------------------------------------------------------------------
+
+def test_pii_regex_pins(spark, tmp_path):
+    """Known PII fixtures → exact counts and scrubbed lengths; doc_id 7
+    additionally receives the injected email (7 % 7 == 0), doc_id 1
+    nothing."""
+    rows = [
+        (1, "reach user7@example.com or x.y+z@a-b.co.uk call 555-010-1234"),
+        (7, "no pii here"),
+        (2, "almost 55-010-1234 and not-an@email"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r for r in webcorpus.pii_stats(spark, str(tmp_path)).collect()}
+
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 1)
+    # scrub replaces both emails and the phone with fixed tags
+    want_clean = len(
+        "reach <EMAIL> or <EMAIL> call <PHONE>"
+    )
+    assert out[1]["clean_chars"] == want_clean
+
+    # injected email on doc 7: ' mail user7@example.com'
+    assert (out[7]["n_emails"], out[7]["n_phones"]) == (1, 0)
+    assert out[7]["raw_chars"] == len("no pii here mail user7@example.com")
+
+    # near-misses must not match ('almost 55-010-1234', 'not-an@email'
+    # has no TLD of 2+ alpha after a dot)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["clean_chars"] == out[2]["raw_chars"]
+
+    _parity(
+        webcorpus.pii_stats(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.pii_stats_sql(),
+    )
+
+
+def test_pii_stats_plan_is_shuffle_free(spark):
+    """PII accounting is scan → project: any Exchange in this plan is a
+    bug (the 100-TB run is embarrassingly parallel)."""
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        webcorpus.pii_stats(spark, "/root/testdata/sf0.001").explain("formatted")
+    plan = buf.getvalue()
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
+    assert "WholeStageCodegen" in plan or "Scan parquet" in plan
+
+
+# ---------------------------------------------------------------------------
+# host_stats
+# ---------------------------------------------------------------------------
+
+def test_host_stats_shares_sum_to_one(spark, tmp_path):
+    rows = [(i, f"doc number {i} words") for i in range(21)]
+    _write_docs(tmp_path, rows)
+    out = webcorpus.host_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 7  # hosts 0..6
+    assert sum(r["n_docs"] for r in out) == 21
+    # shares are rounded to 6dp before summing → within 7 half-ulps of 1
+    assert abs(sum(r["docs_share"] for r in out) - 1.0) < 5e-6
+
+    _parity(
+        webcorpus.host_stats(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.host_stats_sql(),
+    )
+
+
+def test_host_stats_denominator_is_broadcast_not_window(spark):
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        webcorpus.host_stats(spark, "/root/testdata/sf0.001").explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# benchmark_contamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_flags_verbatim_overlap(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                       # benchmark member (0 % 83 == 0)
+        (1, "prefix " + bench_text),           # copies every benchmark window
+        (2, "tiny doc"),                       # < 8 tokens → zero-shingle row
+        (3, "one two three four five six seven eight nine ten"),  # clean
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in webcorpus.benchmark_contamination(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [1, 2, 3]  # benchmark doc itself excluded
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 3
+    # 'prefix ' + 10 tokens → 11 tokens → 4 windows of 8; the 3 windows
+    # fully inside the copied text are contaminated
+    assert out[1]["n_shingles"] == 4
+    assert out[2]["n_shingles"] == 0 and not out[2]["contaminated"]
+    assert out[2]["contam_frac"] == 0.0
+    assert not out[3]["contaminated"] and out[3]["n_overlap"] == 0
+
+    _parity(
+        webcorpus.benchmark_contamination(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.benchmark_contamination_sql(),
+    )
+
+
+def test_contamination_scans_documents_once_and_broadcasts(spark):
+    """Same persist discipline as the dedup family (one FileScan feeds
+    the benchmark side, the corpus side, and the doc universe) AND the
+    overlap join must be the broadcast hash join the benchmark≪corpus
+    asymmetry calls for."""
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        webcorpus.benchmark_contamination(
+            spark, "/root/testdata/sf0.001"
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "documents.parquet" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
