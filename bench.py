@@ -63,6 +63,10 @@ GENERIC_QUERIES = [
     "quality_gates",
     "top_tokens_by_lang",
     "token_budget_sample",
+    # web-corpus management additions
+    "latest_page_version",
+    "pii_stats",
+    "benchmark_contamination",
 ]
 
 

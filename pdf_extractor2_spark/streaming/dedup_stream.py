@@ -36,10 +36,16 @@ def _dedup(key, pdf_iter, state: GroupState):
     (digest,) = key
     kept, n_seen = state.get if state.exists else (None, 0)
 
-    batch = pd.concat(list(pdf_iter))
-    batch_min = int(batch["doc_id"].min())
-    kept = batch_min if kept is None else min(int(kept), batch_min)
-    n_seen = int(n_seen) + len(batch)
+    # fold Arrow chunk by chunk — a hot digest (think: the empty page,
+    # a boilerplate error page) can dominate a backlog batch, and its
+    # group substream must pass through constant memory (same
+    # discipline as streaming/heavy_hitters.py)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        batch_min = int(pdf["doc_id"].min())
+        kept = batch_min if kept is None else min(int(kept), batch_min)
+        n_seen = int(n_seen) + len(pdf)
 
     state.update((kept, n_seen))
     yield pd.DataFrame([{"digest": digest, "kept_doc_id": kept, "n_seen": n_seen}])
