@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": webcorpus.host_stats,
         "pii_stats": webcorpus.pii_stats,
         "benchmark_contamination": webcorpus.benchmark_contamination,
+        "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": webcorpus.host_stats_sql(),
         "pii_stats": webcorpus.pii_stats_sql(),
         "benchmark_contamination": webcorpus.benchmark_contamination_sql(),
+        "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

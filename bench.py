@@ -67,6 +67,7 @@ GENERIC_QUERIES = [
     "latest_page_version",
     "pii_stats",
     "benchmark_contamination",
+    "crawl_corpus_snapshot",
 ]
 
 

@@ -258,6 +258,78 @@ def pii_stats_sql(table: str = "documents") -> str:
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def crawl_corpus_snapshot(
+    spark: SparkSession, sf_dir: str, host_quota: int = 10, min_chars: int = 20
+) -> DataFrame:
+    """The composed Common-Crawl ingest policy as ONE declarative plan:
+    recrawl dedup (newest capture per url) → quality gate (minimum
+    extracted length) → host-aware deterministic downsampling (an
+    over-represented host is thinned to ~``host_quota`` urls).
+
+    The downsample is INTEGER-ONLY and windowless: a url survives iff
+    its host has ≤ quota urls, or ``lcg(doc_id) % n_urls < quota``
+    (the repo's LCG hash — reproducible across engines, restarts, and
+    cluster sizes; expected kept ≈ quota).  No sort, no per-host
+    ranking: the plan is two hash aggregates + one small-side join +
+    a map-side filter, so one 10^8-page host costs the same per row
+    as a 10-page host.  The per-host table is one row per host; Spark
+    broadcasts it while it fits and AQE flips to a shuffle join beyond
+    that — either way no skew, since the join key is unique per host.
+
+    The gated latest-per-url table feeds BOTH the output branch and the
+    host-size aggregate — persisted (``_scoped_persist``) so the
+    recrawl-dedup aggregate and its source scan run once, not twice
+    (single-FileScan pinned in tests/test_webcorpus.py; the lost-persist
+    regression class from round 2's minhash incident)."""
+    _scoped_clear()
+    latest = _scoped_persist(
+        _web(spark, sf_dir)
+        .groupBy("host", "url")
+        .agg(
+            F.expr("max_by(doc_id, warc_epoch)").alias("doc_id"),
+            F.expr("max_by(n_chars, warc_epoch)").alias("n_chars"),
+        )
+        .where(F.col("n_chars") >= min_chars)
+    )
+    host_sizes = latest.groupBy("host").agg(F.count("*").alias("n_host_urls"))
+    lcg = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)
+    return (
+        latest.join(F.broadcast(host_sizes), "host")
+        .where(
+            (F.col("n_host_urls") <= host_quota)
+            | (lcg % F.col("n_host_urls") < host_quota)
+        )
+        .select(
+            "url",
+            "host",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def crawl_corpus_snapshot_sql(
+    table: str = "documents", host_quota: int = 10, min_chars: int = 20
+) -> str:
+    return f"""
+        WITH web AS ({_web_sql(table)}),
+        latest AS (
+          SELECT host, url,
+                 arg_max(doc_id, warc_epoch) AS doc_id,
+                 arg_max(n_chars, warc_epoch) AS n_chars
+          FROM web GROUP BY host, url),
+        gated AS (SELECT * FROM latest WHERE n_chars >= {min_chars}),
+        host_sizes AS (SELECT host, COUNT(*) AS n_host_urls
+                       FROM gated GROUP BY host)
+        SELECT url, host, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM gated JOIN host_sizes USING (host)
+        WHERE n_host_urls <= {host_quota}
+           OR ((doc_id * 1103515245 + 12345) % 2147483647) % n_host_urls
+              < {host_quota}
+    """
+
+
 def benchmark_contamination(
     spark: SparkSession, sf_dir: str, k: int = 8, bench_mod: int = BENCH_MOD
 ) -> DataFrame:

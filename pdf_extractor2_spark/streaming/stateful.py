@@ -29,6 +29,7 @@ GAP_SECONDS = 1800.0
 
 
 def _sessionize(key, pdf_iter, state: GroupState):
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
@@ -37,12 +38,22 @@ def _sessionize(key, pdf_iter, state: GroupState):
     else:
         n_sessions, last_ts = 0, None
 
-    batch = pd.concat(list(pdf_iter))
-    batch = batch.sort_values(["ts", "event_id"])
-    n_events = len(batch)
+    # gap-based sessionization REQUIRES the user's batch in time order,
+    # so a full sort is semantically unavoidable — but only the ts
+    # column is needed for it (ties in ts can't open a session whatever
+    # the tiebreak, since gap 0 ≤ GAP_SECONDS).  Accumulate one float64
+    # per event instead of whole rows: a hot user's batch costs 8 bytes
+    # × events, not the full Arrow row width.
+    chunks = []
+    n_events = 0
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n_events += len(pdf)
+        chunks.append(pdf["ts"].astype("int64").to_numpy())  # ns since epoch
+    ts_ns = np.sort(np.concatenate(chunks)) if chunks else np.array([], "int64")
 
-    for ts in batch["ts"]:
-        t = ts.timestamp()
+    for t in ts_ns / 1e9:
         if last_ts is None or t - last_ts > GAP_SECONDS:
             n_sessions += 1
         last_ts = t

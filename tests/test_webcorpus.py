@@ -156,6 +156,87 @@ def test_host_stats_denominator_is_broadcast_not_window(spark):
 
 
 # ---------------------------------------------------------------------------
+# crawl_corpus_snapshot
+# ---------------------------------------------------------------------------
+
+def test_crawl_snapshot_policy(spark, tmp_path):
+    """Recrawl dedup + length gate + host quota compose correctly:
+    only the newest capture of a url can appear, short pages are gated,
+    a small host passes through whole, and the thinning is a pure
+    function of doc_id (re-running yields the identical set)."""
+    long_text = "x" * 50
+    rows = (
+        # url (0 % 7, 0 % 25) has three captures; newest (350) is long
+        [(0, "short"), (175, long_text), (350, long_text)]
+        # distinct urls on host 1: doc_ids 1, 8, 15, ... (1 mod 7);
+        # all long → host 1 keeps them all if quota permits
+        + [(1 + 7 * i, long_text) for i in range(5)]
+        # a too-short lone page is gated out entirely
+        + [(2, "tiny")]
+    )
+    _write_docs(tmp_path, rows)
+    out = webcorpus.crawl_corpus_snapshot(
+        spark, str(tmp_path), host_quota=10, min_chars=20
+    ).collect()
+    by_url = {r["url"]: r for r in out}
+    # newest capture won and carried its own n_chars
+    assert by_url["https://host0.example/p0"]["doc_id"] == 350
+    # host1's five distinct urls all fit within quota 10
+    assert sum(1 for r in out if r["host"] == "host1.example") == 5
+    # the short page is gone
+    assert not any(r["doc_id"] == 2 for r in out)
+
+    again = webcorpus.crawl_corpus_snapshot(
+        spark, str(tmp_path), host_quota=10, min_chars=20
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    _parity(
+        webcorpus.crawl_corpus_snapshot(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.crawl_corpus_snapshot_sql(),
+    )
+
+
+def test_crawl_snapshot_quota_thins_hot_host(spark, tmp_path):
+    """A host with many urls is thinned to ≈quota (integer-hash
+    downsample, not a per-host sort): kept count lands well under the
+    url count and above zero."""
+    # 40 distinct urls on host 0: doc_ids ≡ 0 mod 7, spread mod 25
+    rows = [(7 * i, "y" * 40) for i in range(40)]
+    _write_docs(tmp_path, rows)
+    out = webcorpus.crawl_corpus_snapshot(
+        spark, str(tmp_path), host_quota=5, min_chars=20
+    ).collect()
+    n_urls = len({r[0] % 175 for r in rows})  # distinct (host,path) combos
+    kept = len(out)
+    assert 0 < kept < n_urls, (kept, n_urls)
+
+    _parity(
+        webcorpus.crawl_corpus_snapshot(spark, str(tmp_path), host_quota=5),
+        _duck(tmp_path),
+        webcorpus.crawl_corpus_snapshot_sql(host_quota=5),
+    )
+
+
+def test_crawl_snapshot_plan_has_no_sort_or_window(spark):
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        webcorpus.crawl_corpus_snapshot(
+            spark, "/root/testdata/sf0.001"
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert not re.search(r"^\(\d+\) Sort", plan, re.M), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the persisted latest-per-url table feeds both the output branch
+    # and the host-size aggregate: exactly ONE FileScan of documents
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+# ---------------------------------------------------------------------------
 # benchmark_contamination
 # ---------------------------------------------------------------------------
 
