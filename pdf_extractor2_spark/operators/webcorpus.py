@@ -255,6 +255,90 @@ def pii_stats_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# cross-snapshot diff
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two crawl snapshots: which urls were added, removed, content-
+    changed, or unchanged between era A and era B?  (The incremental-
+    processing primitive: a consumer reprocesses only ``added`` +
+    ``changed`` urls instead of the whole crawl.)
+
+    Eras are derived deterministically — ``doc_id % 2`` splits the
+    corpus into an "old" (even) and "new" (odd) capture set; each era
+    is first recrawl-deduped to its newest capture per url, content
+    identity is the md5 of that capture's text.  Shape: two partial-
+    aggregable hash aggregates (one per era, computed in ONE pass via a
+    (era, url) groupBy) + a single url-keyed full outer join — no
+    windows, no sorts, and the join key is unique per side so there is
+    no skew surface.  At 10^12 urls this is the standard two-snapshot
+    reconcile: everything partitions by hash(url)."""
+    web = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.expr(_URL_EXPR).alias("url"),
+        F.expr(_WARC_EXPR).alias("warc_epoch"),
+        (F.col("doc_id") % 2).alias("era"),
+    )
+    latest = (
+        web.groupBy("era", "url")
+        .agg(
+            F.expr(
+                "max_by(md5(cast(text as binary)), warc_epoch)"
+            ).alias("digest"),
+            F.expr("max_by(doc_id, warc_epoch)").alias("doc_id"),
+        )
+    )
+    a = latest.where(F.col("era") == 0).select(
+        "url", F.col("digest").alias("old_digest"), F.col("doc_id").alias("old_doc_id")
+    )
+    b = latest.where(F.col("era") == 1).select(
+        "url", F.col("digest").alias("new_digest"), F.col("doc_id").alias("new_doc_id")
+    )
+    status = (
+        "case when old_digest is null then 'added'"
+        " when new_digest is null then 'removed'"
+        " when old_digest = new_digest then 'unchanged'"
+        " else 'changed' end"
+    )
+    return (
+        a.join(b, "url", "full_outer")
+        .select(
+            "url",
+            F.expr(status).alias("status"),
+            F.col("old_doc_id").cast("long").alias("old_doc_id"),
+            F.col("new_doc_id").cast("long").alias("new_doc_id"),
+        )
+    )
+
+
+def snapshot_diff_sql(table: str = "documents") -> str:
+    return f"""
+        WITH web AS (
+          SELECT doc_id, text, {_URL_SQL} AS url, {_WARC_SQL} AS warc_epoch,
+                 doc_id % 2 AS era
+          FROM {table}),
+        latest AS (
+          SELECT era, url,
+                 arg_max(md5(text), warc_epoch) AS digest,
+                 arg_max(doc_id, warc_epoch) AS doc_id
+          FROM web GROUP BY era, url),
+        a AS (SELECT url, digest AS old_digest, doc_id AS old_doc_id
+              FROM latest WHERE era = 0),
+        b AS (SELECT url, digest AS new_digest, doc_id AS new_doc_id
+              FROM latest WHERE era = 1)
+        SELECT COALESCE(a.url, b.url) AS url,
+               CASE WHEN old_digest IS NULL THEN 'added'
+                    WHEN new_digest IS NULL THEN 'removed'
+                    WHEN old_digest = new_digest THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(old_doc_id AS BIGINT) AS old_doc_id,
+               CAST(new_doc_id AS BIGINT) AS new_doc_id
+        FROM a FULL OUTER JOIN b USING (url)
+    """
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

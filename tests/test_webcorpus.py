@@ -237,6 +237,74 @@ def test_crawl_snapshot_plan_has_no_sort_or_window(spark):
 
 
 # ---------------------------------------------------------------------------
+# randomized cross-engine parity (the recurring bug class: float drift,
+# regex dialect edges, hash-arithmetic divergence)
+# ---------------------------------------------------------------------------
+
+def test_webcorpus_random_parity(spark, tmp_path):
+    import random
+
+    rng = random.Random(2026)
+    vocab = (
+        "alpha beta gamma delta kilo lima mike november oscar papa".split()
+        + ["user@example.com", "bob.smith+x@mail-host.co", "555-010-9999",
+           "12-34-56", "x@y.zz", "@not", "a@b", "100%", "r[e]gex"]
+    )
+    rows = []
+    for doc_id in sorted(rng.sample(range(3000), 120)):
+        n = rng.randint(0, 40)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    _write_docs(tmp_path, rows)
+    con = _duck(tmp_path)
+    for fn, sql in [
+        (webcorpus.latest_page_version, webcorpus.latest_page_version_sql()),
+        (webcorpus.host_stats, webcorpus.host_stats_sql()),
+        (webcorpus.pii_stats, webcorpus.pii_stats_sql()),
+        (webcorpus.crawl_corpus_snapshot, webcorpus.crawl_corpus_snapshot_sql()),
+        (webcorpus.snapshot_diff, webcorpus.snapshot_diff_sql()),
+        (webcorpus.benchmark_contamination, webcorpus.benchmark_contamination_sql()),
+    ]:
+        _parity(fn(spark, str(tmp_path)), con, sql)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark, tmp_path):
+    """All four statuses, with per-era recrawl dedup applied first:
+    era = doc_id % 2, url collides on doc_id mod 175."""
+    same = "stable content"
+    rows = [
+        # url (0%7,0%25): era-0 docs 0 & 350 (newest 350), era-1 doc 175
+        # with DIFFERENT text → changed (and the diff must compare the
+        # NEWEST era-0 capture, doc 350, not doc 0)
+        (0, "old old"), (350, "newer old"), (175, "the new text"),
+        # url (1%7,1%25): both eras same text → unchanged (176 ≡ 1 mod 175)
+        (1, same), (176, same),
+        # url for doc 2: era 0 only → removed
+        (2, "gone"),
+        # url for doc 3: era 1 only → added
+        (3, "fresh"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {r["url"]: r for r in webcorpus.snapshot_diff(spark, str(tmp_path)).collect()}
+    assert out["https://host0.example/p0"]["status"] == "changed"
+    assert out["https://host0.example/p0"]["old_doc_id"] == 350
+    assert out["https://host1.example/p1"]["status"] == "unchanged"
+    assert out["https://host2.example/p2"]["status"] == "removed"
+    assert out["https://host2.example/p2"]["new_doc_id"] is None
+    assert out["https://host3.example/p3"]["status"] == "added"
+    assert out["https://host3.example/p3"]["old_doc_id"] is None
+
+    _parity(
+        webcorpus.snapshot_diff(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.snapshot_diff_sql(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark_contamination
 # ---------------------------------------------------------------------------
 
