@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": webcorpus.benchmark_contamination,
         "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot,
         "snapshot_diff": webcorpus.snapshot_diff,
+        "url_normalize": webcorpus.url_normalize,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": webcorpus.benchmark_contamination_sql(),
         "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot_sql(),
         "snapshot_diff": webcorpus.snapshot_diff_sql(),
+        "url_normalize": webcorpus.url_normalize_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

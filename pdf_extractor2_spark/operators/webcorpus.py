@@ -255,6 +255,133 @@ def pii_stats_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# url canonicalization
+# ---------------------------------------------------------------------------
+
+# four deterministic "crawler noise" variants of the same logical url —
+# mixed-case scheme/host, explicit default ports, fragments, trailing
+# slashes, unsorted query strings — built identically in both engines.
+# The selector is doc_id % 4: coprime with the 175-step that makes two
+# doc_ids share a logical page, so a recrawled page's captures cycle
+# through DIFFERENT spellings and canonical collapse genuinely occurs
+# corpus-wide (variants 0 and 1 canonicalize equal).
+_RAW_URL_EXPR = (
+    f"case cast(doc_id % 4 as int)"
+    f" when 0 then concat('https://host', cast(doc_id % {N_HOSTS} as string),"
+    f"   '.example/p', cast(doc_id % {N_PATHS} as string))"
+    f" when 1 then concat('HTTPS://HOST', cast(doc_id % {N_HOSTS} as string),"
+    f"   '.EXAMPLE:443/p', cast(doc_id % {N_PATHS} as string), '#sec')"
+    f" when 2 then concat('http://host', cast(doc_id % {N_HOSTS} as string),"
+    f"   '.example:80/p', cast(doc_id % {N_PATHS} as string), '/')"
+    f" else concat('https://host', cast(doc_id % {N_HOSTS} as string),"
+    f"   '.example/p', cast(doc_id % {N_PATHS} as string), '?b=2&a=1') end"
+)
+_RAW_URL_SQL = (
+    f"CASE doc_id % 4"
+    f" WHEN 0 THEN 'https://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    f"   || '.example/p' || CAST(doc_id % {N_PATHS} AS VARCHAR)"
+    f" WHEN 1 THEN 'HTTPS://HOST' || CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    f"   || '.EXAMPLE:443/p' || CAST(doc_id % {N_PATHS} AS VARCHAR) || '#sec'"
+    f" WHEN 2 THEN 'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    f"   || '.example:80/p' || CAST(doc_id % {N_PATHS} AS VARCHAR) || '/'"
+    f" ELSE 'https://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    f"   || '.example/p' || CAST(doc_id % {N_PATHS} AS VARCHAR) || '?b=2&a=1'"
+    f" END"
+)
+
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the step every crawl pipeline runs before
+    url-keyed dedup (a url arrives in many spellings; without
+    canonicalization, recrawl dedup silently treats them as distinct
+    pages): lowercase scheme+host, strip the scheme's default port,
+    drop the fragment, drop a trailing slash, sort query parameters.
+
+    Pure per-row string/regexp expressions (whole-stage codegen, no
+    shuffle beyond the final per-canonical-url count) built step-for-
+    step identically in Spark and DuckDB, so the oracle checks the full
+    normalization semantics.  Output: one row per document with its raw
+    and canonical spelling plus how many raw spellings map to the same
+    canonical url corpus-wide (the dedup win the normalizer buys)."""
+    raw = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_RAW_URL_EXPR).alias("raw_url")
+    )
+    nofrag = F.regexp_replace("raw_url", F.lit(r"#.*$"), F.lit(""))
+    step = raw.select("doc_id", "raw_url", nofrag.alias("u"))
+    scheme = F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("u", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("u", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("u", r"\?([^#]*)", 1)
+    parts = step.select(
+        "doc_id", "raw_url",
+        scheme.alias("scheme"), hostport.alias("hostport"),
+        path.alias("path"), query.alias("query"),
+    )
+    host = F.expr(
+        "case when scheme = 'https' then regexp_replace(hostport, ':443$', '')"
+        " when scheme = 'http' then regexp_replace(hostport, ':80$', '')"
+        " else hostport end"
+    )
+    path_norm = F.expr(
+        "case when path = '' or path = '/' then ''"
+        " else regexp_replace(path, '/$', '') end"
+    )
+    query_norm = F.expr(
+        "case when query = '' then ''"
+        " else concat('?', concat_ws('&', sort_array(split(query, '&')))) end"
+    )
+    canon = parts.select(
+        "doc_id", "raw_url",
+        F.concat(
+            F.col("scheme"), F.lit("://"), host, path_norm, query_norm
+        ).alias("canon_url"),
+    )
+    forms = canon.groupBy("canon_url").agg(
+        F.countDistinct("raw_url").alias("n_raw_forms")
+    )
+    return canon.join(forms, "canon_url").select(
+        "doc_id", "raw_url", "canon_url",
+        F.col("n_raw_forms").cast("long").alias("n_raw_forms"),
+    )
+
+
+def url_normalize_sql(table: str = "documents") -> str:
+    return f"""
+        WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM {table}),
+        step AS (SELECT doc_id, raw_url,
+                        regexp_replace(raw_url, '#.*$', '') AS u
+                 FROM raw),
+        parts AS (
+          SELECT doc_id, raw_url,
+                 lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+                 regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(u, '\\?([^#]*)', 1) AS query
+          FROM step),
+        canon AS (
+          SELECT doc_id, raw_url,
+                 scheme || '://'
+                 || CASE WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                         WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                         ELSE hostport END
+                 || CASE WHEN path = '' OR path = '/' THEN ''
+                         ELSE regexp_replace(path, '/$', '') END
+                 || CASE WHEN query = '' THEN ''
+                         ELSE '?' || array_to_string(
+                                list_sort(string_split(query, '&')), '&') END
+                   AS canon_url
+          FROM parts),
+        forms AS (SELECT canon_url, COUNT(DISTINCT raw_url) AS n_raw_forms
+                  FROM canon GROUP BY canon_url)
+        SELECT doc_id, raw_url, canon_url,
+               CAST(n_raw_forms AS BIGINT) AS n_raw_forms
+        FROM canon JOIN forms USING (canon_url)
+    """
+
+
+# ---------------------------------------------------------------------------
 # cross-snapshot diff
 # ---------------------------------------------------------------------------
 

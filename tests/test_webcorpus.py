@@ -262,9 +262,53 @@ def test_webcorpus_random_parity(spark, tmp_path):
         (webcorpus.pii_stats, webcorpus.pii_stats_sql()),
         (webcorpus.crawl_corpus_snapshot, webcorpus.crawl_corpus_snapshot_sql()),
         (webcorpus.snapshot_diff, webcorpus.snapshot_diff_sql()),
+        (webcorpus.url_normalize, webcorpus.url_normalize_sql()),
         (webcorpus.benchmark_contamination, webcorpus.benchmark_contamination_sql()),
     ]:
         _parity(fn(spark, str(tmp_path)), con, sql)
+
+
+# ---------------------------------------------------------------------------
+# url_normalize
+# ---------------------------------------------------------------------------
+
+def test_url_normalize_rules(spark, tmp_path):
+    """Each canonicalization rule pinned through a chosen variant:
+    lowercase scheme+host, default-port strip per scheme, fragment
+    drop, trailing-slash drop, query-param sort — and two different
+    raw spellings of the same logical page must COLLAPSE to one
+    canonical url (n_raw_forms = 2)."""
+    rows = [
+        (0, "a"),    # v0: https://host0.example/p0        (plain)
+        (175, "b"),  # 175 % 4 = 3 → v3: ?b=2&a=1 on the SAME logical page
+        (1, "c"),    # v1: HTTPS://HOST1.EXAMPLE:443/p1#sec
+        (176, "d"),  # 176 % 4 = 0 → v0 plain, same page as doc 1
+        (2, "e"),    # v2: http://host2.example:80/p2/
+        (3, "f"),    # v3: query variant alone
+    ]
+    _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r for r in webcorpus.url_normalize(spark, str(tmp_path)).collect()}
+
+    # lowercase + :443 strip + fragment drop
+    assert out[1]["raw_url"] == "HTTPS://HOST1.EXAMPLE:443/p1#sec"
+    assert out[1]["canon_url"] == "https://host1.example/p1"
+    # v1 and v0 of the same page collapse
+    assert out[176]["canon_url"] == out[1]["canon_url"]
+    assert out[1]["n_raw_forms"] == 2
+    # :80 strip + trailing slash drop (scheme stays http)
+    assert out[2]["canon_url"] == "http://host2.example/p2"
+    # query params sorted
+    assert out[3]["raw_url"].endswith("?b=2&a=1")
+    assert out[3]["canon_url"] == "https://host3.example/p3?a=1&b=2"
+    # plain url untouched; differs from its query-variant sibling
+    assert out[0]["canon_url"] == "https://host0.example/p0"
+    assert out[175]["canon_url"] == "https://host0.example/p0?a=1&b=2"
+
+    _parity(
+        webcorpus.url_normalize(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.url_normalize_sql(),
+    )
 
 
 # ---------------------------------------------------------------------------
