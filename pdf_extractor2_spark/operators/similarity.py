@@ -18,12 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import round_half_up_expr
+
+
 def _r6(x: str) -> str:
     """Round-half-up to 6 decimals (one flipped 6th-decimal centroid
     component would cascade into a different cell assignment) — the
     shared cross-engine idiom from operators/dedup.py."""
-    from .dedup import round_half_up_expr
-
     return round_half_up_expr(x, 6)
 
 
@@ -521,8 +522,6 @@ def ann_knn_join(spark: SparkSession, sf_dir: str,
     dot = _DOT.format(a="embedding", b="q")
     na = _DOT.format(a="embedding", b="embedding")
     nb = _DOT.format(a="q", b="q")
-    from .dedup import round_half_up_expr
-
     scored = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
@@ -564,8 +563,6 @@ def ann_knn_join(spark: SparkSession, sf_dir: str,
 
 def ann_knn_join_sql(table: str = "embeddings", n_queries: int = 10,
                      k: int = 5) -> str:
-    from .dedup import round_half_up_expr
-
     dot = _DOT_SQL.format(a="e.embedding", b="q.embedding")
     na = _DOT_SQL.format(a="e.embedding", b="e.embedding")
     nb = _DOT_SQL.format(a="q.embedding", b="q.embedding")

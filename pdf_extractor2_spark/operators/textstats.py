@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import round_half_up_expr
+
 MOD = 1_000_000_007
 P56 = 72_057_594_037_927_931  # shared 56-bit fold modulus (operators/dedup.py)
 KMV_K = 256
@@ -246,8 +248,6 @@ def _f6(x: str) -> str:
     """Cross-engine round-half-up to 6 decimals (ratios of small
     integers DO land on exact binary halfway points, e.g. 1/128) — the
     shared idiom from operators/dedup.py."""
-    from .dedup import round_half_up_expr
-
     return round_half_up_expr(x, 6)
 
 

@@ -466,7 +466,7 @@ def snapshot_diff_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
-# benchmark decontamination
+# composed snapshot policy
 # ---------------------------------------------------------------------------
 
 def crawl_corpus_snapshot(
@@ -483,9 +483,13 @@ def crawl_corpus_snapshot(
     cluster sizes; expected kept ≈ quota).  No sort, no per-host
     ranking: the plan is two hash aggregates + one small-side join +
     a map-side filter, so one 10^8-page host costs the same per row
-    as a 10-page host.  The per-host table is one row per host; Spark
-    broadcasts it while it fits and AQE flips to a shuffle join beyond
-    that — either way no skew, since the join key is unique per host.
+    as a 10-page host.  The per-host table is one row per host and the
+    join is deliberately UNHINTED: Spark/AQE broadcasts it while it
+    fits (the case at any realistic host count — asserted in
+    tests/test_webcorpus.py) and falls back to a shuffle join beyond
+    the broadcast threshold; a forced ``F.broadcast`` hint would never
+    be demoted and could OOM at 10^8+ hosts.  Either way no skew,
+    since the join key is unique per host.
 
     The gated latest-per-url table feeds BOTH the output branch and the
     host-size aggregate — persisted (``_scoped_persist``) so the
@@ -505,7 +509,7 @@ def crawl_corpus_snapshot(
     host_sizes = latest.groupBy("host").agg(F.count("*").alias("n_host_urls"))
     lcg = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)
     return (
-        latest.join(F.broadcast(host_sizes), "host")
+        latest.join(host_sizes, "host")
         .where(
             (F.col("n_host_urls") <= host_quota)
             | (lcg % F.col("n_host_urls") < host_quota)
@@ -540,6 +544,10 @@ def crawl_corpus_snapshot_sql(
               < {host_quota}
     """
 
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
 
 def benchmark_contamination(
     spark: SparkSession, sf_dir: str, k: int = 8, bench_mod: int = BENCH_MOD

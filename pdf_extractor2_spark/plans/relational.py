@@ -680,11 +680,20 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event STRICTLY AFTER stage k-1's timestamp — a click that precedes
     the user's first view does not complete the click stage (the first
     click AFTER the first view does, even when an earlier stray click
-    exists).  Computed as three stacked whole-partition window MINs
-    (``PARTITION BY user_id`` with no ORDER BY — one shuffle, NO sort:
-    an unordered window frame is a per-group aggregate, so a hot user
-    streams), then one distinct-per-user reduction and one global
-    aggregate.  The DuckDB oracle runs the identical window MINs."""
+    exists).  Each stage's filter depends on the previous stage's
+    per-user result, so one aggregate pass cannot express it.
+
+    Computed as three stacked whole-partition window MINs (``PARTITION
+    BY user_id``, no ORDER BY), then one per-user reduction and one
+    global aggregate.  Honest plan shape: ONE exchange, but WindowExec
+    groups partitions with a Sort(user_id) and buffers each user's
+    rows (spilling past a threshold) — events-per-user is session-
+    bounded in this domain, so the buffer is small; a pathologically
+    hot user (bot with 10^8 events) would need the alternative
+    formulation, a 3-step aggregate→join chain (per-stage conditional
+    MIN aggregates joined back to events), which is partial-aggregable
+    and never buffers but shuffles the events table three times.  The
+    DuckDB oracle runs the identical window MINs."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type",
         F.col("ts").cast("timestamp").cast("double").alias("epoch"),

@@ -72,17 +72,26 @@ def _heavy(key, pdf_iter, state: GroupState):
     else:
         counters = {}
 
-    # fold Arrow chunk by chunk — NEVER pd.concat the whole micro-batch
-    # (with availableNow and no maxFilesPerTrigger the first batch is
-    # the entire backlog; concatenating it would be O(shard-substream)
-    # memory, defeating the bounded-state point).  Per-chunk counts are
-    # merge-associative, so the exact-regime result is split-invariant;
-    # fold order within a chunk is token-sorted for determinism.
+    # Two-phase fold: (1) exact per-token counts for THIS micro-batch,
+    # accumulated Arrow chunk by chunk — never pd.concat of the whole
+    # batch (with availableNow and no maxFilesPerTrigger the first
+    # batch is the entire backlog; memory here is O(batch vocabulary),
+    # strictly below the O(rows) a concat would cost); (2) ONE
+    # token-sorted MG fold of those totals.  Folding MG per chunk
+    # instead would make over-capacity results depend on where Arrow
+    # happens to split the substream (a token straddling two chunks
+    # folds twice with partial counts and triggers different decrement
+    # rounds) — batch totals make the result a function of the DATA,
+    # invariant to arrow.maxRecordsPerBatch and row layout.
+    batch_counts: dict[str, int] = {}
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        for token, c in sorted(pdf.groupby("token").size().items()):
-            _mg_update(counters, str(token), int(c), MG_CAPACITY)
+        for token, c in pdf.groupby("token").size().items():
+            t = str(token)
+            batch_counts[t] = batch_counts.get(t, 0) + int(c)
+    for token, c in sorted(batch_counts.items()):
+        _mg_update(counters, token, c, MG_CAPACITY)
 
     items = sorted(counters.items())
     state.update((
