@@ -36,6 +36,19 @@ Operators (each a ``queries()`` entry with a DuckDB oracle twin):
   stream — the corpus side never shuffles until the per-doc count
   aggregate (partial-aggregable).  This is the scale shape of
   real decontamination (benchmark ≪ corpus).
+- ``crawl_corpus_snapshot`` — the composed ingest policy: recrawl
+  dedup → minimum-length gate → host-quota thinning via an
+  integer-only LCG hash filter (windowless, sortless, one persisted
+  FileScan).
+- ``snapshot_diff`` — added/removed/changed/unchanged urls between two
+  crawl eras; per-era recrawl dedup + md5 content identity + one
+  url-keyed full outer join (the incremental-processing primitive).
+- ``url_normalize`` — canonical url spellings (lowercase scheme/host,
+  default-port strip, fragment drop, trailing-slash drop, query-param
+  sort) as pure per-row string/regexp codegen expressions.
+
+Streaming twin: ``streaming/latest_version.py`` maintains the
+keep-latest-per-url state incrementally with constant per-url state.
 """
 
 from __future__ import annotations
