@@ -68,6 +68,8 @@ GENERIC_QUERIES = [
     "pii_stats",
     "benchmark_contamination",
     "crawl_corpus_snapshot",
+    "snapshot_diff",
+    "url_normalize",
 ]
 
 
