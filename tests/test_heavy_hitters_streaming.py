@@ -90,3 +90,45 @@ def test_mg_survival_guarantee():
     assert "hh" in counters  # 500 > 1500/16 = 93.75 -> guaranteed
     # capacity is respected throughout
     assert len(counters) <= capacity
+
+
+def test_mg_fold_is_arrow_chunking_invariant():
+    """The two-phase batch fold (exact per-batch totals across Arrow
+    chunks, then ONE sorted MG fold) must yield the identical counter
+    table no matter where the micro-batch happens to be split into
+    chunks — including the over-capacity regime, where a per-chunk MG
+    fold would diverge (a token straddling two chunks folds twice with
+    partial counts and triggers different decrement rounds)."""
+    import pandas as pd
+
+    from pdf_extractor2_spark.streaming import heavy_hitters as hh
+
+    rng = random.Random(11)
+    rows = ["hot"] * 300 + [f"t{i % 200}" for i in range(2000)]  # 201 > 64
+    rng.shuffle(rows)
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.stored = None
+
+        def update(self, v):
+            self.stored = v
+
+    def run(chunk_sizes):
+        chunks, i = [], 0
+        for n in chunk_sizes:
+            chunks.append(pd.DataFrame({"token": rows[i:i + n]}))
+            i += n
+        assert i == len(rows)
+        state = FakeState()
+        out = list(hh._heavy((0,), iter(chunks), state))
+        return state.stored, sorted(
+            map(tuple, out[0][["token", "mg_count"]].itertuples(index=False))
+        )
+
+    whole = run([len(rows)])
+    halves = run([len(rows) // 2, len(rows) - len(rows) // 2])
+    ragged = run([1, 7, 500, len(rows) - 508])
+    assert whole == halves == ragged
+    assert len(whole[0][0]) <= MG_CAPACITY
