@@ -17,13 +17,15 @@ from pdf_extractor2_spark.operators import webcorpus
 
 
 def _write_docs(path, rows):
-    """rows: list of (doc_id, text).  Full documents schema."""
+    """rows: list of (doc_id, text); text may be None (a real crawl
+    table has null-text rows, and both engines must propagate them
+    identically).  Full documents schema."""
     table = pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows], pa.string()),
         "lang": pa.array(["en"] * len(rows), pa.string()),
         "source": pa.array(["srcT"] * len(rows), pa.string()),
-        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        "n_chars": pa.array([len(r[1] or "") for r in rows], pa.int64()),
     })
     pq.write_table(table, str(path / "documents.parquet"))
 
@@ -254,6 +256,11 @@ def test_webcorpus_random_parity(spark, tmp_path):
     for doc_id in sorted(rng.sample(range(3000), 120)):
         n = rng.randint(0, 40)
         rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    # null-text and empty-text rows: both engines must propagate them
+    # identically through every operator (verified: NULL flows through
+    # concat/regexp/md5 the same way in Spark and DuckDB)
+    rows[7] = (rows[7][0], None)
+    rows[11] = (rows[11][0], "")
     _write_docs(tmp_path, rows)
     con = _duck(tmp_path)
     for fn, sql in [
