@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot,
         "snapshot_diff": webcorpus.snapshot_diff,
         "url_normalize": webcorpus.url_normalize,
+        "lang_confusion": webcorpus.lang_confusion,
+        "host_quality_report": webcorpus.host_quality_report,
         # dedup family
         "dedup_exact": dedup.exact_dedup_summary,
         "dedup_jaccard_pairs": dedup.jaccard_pairs,
@@ -392,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_corpus_snapshot": webcorpus.crawl_corpus_snapshot_sql(),
         "snapshot_diff": webcorpus.snapshot_diff_sql(),
         "url_normalize": webcorpus.url_normalize_sql(),
+        "lang_confusion": webcorpus.lang_confusion_sql(),
+        "host_quality_report": webcorpus.host_quality_report_sql(),
         "dedup_exact": dedup.exact_dedup_summary_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),

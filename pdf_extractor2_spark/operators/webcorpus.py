@@ -268,6 +268,101 @@ def pii_stats_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# corpus quality monitoring (composed over textstats)
+# ---------------------------------------------------------------------------
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion table: per (labelled lang, predicted lang)
+    cell, the document count and its share of the labelled language —
+    the monitoring view that tells a multilingual pipeline where its
+    language router misroutes.  Composes ``textstats.lang_id``; two
+    partial-aggregable hash aggregates + a per-lang join (the per-lang
+    table is one row per language — broadcast-size at any corpus)."""
+    from .textstats import lang_id
+
+    pred = lang_id(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    per_lang = pred.groupBy("lang").agg(
+        F.count("*").cast("double").alias("lang_total")
+    )
+    share = round_half_up_expr("CAST(n_docs AS DOUBLE) / lang_total", 6)
+    return (
+        cells.join(per_lang, "lang")
+        .select("lang", "pred_lang", "n_docs", F.expr(share).alias("lang_share"))
+    )
+
+
+def lang_confusion_sql(table: str = "documents") -> str:
+    from .textstats import lang_id_sql
+
+    share = round_half_up_expr("CAST(n_docs AS DOUBLE) / lang_total", 6)
+    return f"""
+        WITH pred AS ({lang_id_sql(table)}),
+        cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM pred GROUP BY lang, pred_lang),
+        per_lang AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS lang_total
+                     FROM pred GROUP BY lang)
+        SELECT lang, pred_lang, n_docs, {share} AS lang_share
+        FROM cells JOIN per_lang USING (lang)
+    """
+
+
+def host_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus curation view: how much of each host's output
+    survives the C4-family quality gates, and how long its documents
+    run — THE practical question a crawl curator asks ("which hosts
+    produce junk?").  Composes ``textstats.quality_gates`` with the
+    deterministic host derivation; one hash aggregate over the gated
+    stream (gate columns are per-row codegen, sums/counts are
+    partial-aggregable — a 10^8-page host reduces map-side)."""
+    from .textstats import quality_gates
+
+    qg = quality_gates(spark, sf_dir).select(
+        F.expr(_HOST_EXPR).alias("host"),
+        "n_words",
+        F.col("kept").cast("long").alias("kept_i"),
+    )
+    rate = round_half_up_expr("CAST(n_kept AS DOUBLE) / n_docs", 6)
+    mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
+    return (
+        qg.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kept_i").cast("long").alias("n_kept"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+        )
+        .select(
+            "host", "n_docs", "n_kept",
+            F.expr(rate).alias("kept_rate"),
+            F.expr(mean_words).alias("mean_words"),
+        )
+    )
+
+
+def host_quality_report_sql(table: str = "documents") -> str:
+    from .textstats import quality_gates_sql
+
+    rate = round_half_up_expr("CAST(n_kept AS DOUBLE) / n_docs", 6)
+    mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
+    return f"""
+        WITH qg AS ({quality_gates_sql(table)}),
+        hosted AS (SELECT {_HOST_SQL} AS host, n_words,
+                          CASE WHEN kept THEN 1 ELSE 0 END AS kept_i
+                   FROM qg),
+        agg AS (SELECT host,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(kept_i) AS BIGINT) AS n_kept,
+                       CAST(SUM(n_words) AS BIGINT) AS sum_words
+                FROM hosted GROUP BY host)
+        SELECT host, n_docs, n_kept, {rate} AS kept_rate,
+               {mean_words} AS mean_words
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
 # url canonicalization
 # ---------------------------------------------------------------------------
 

@@ -270,9 +270,56 @@ def test_webcorpus_random_parity(spark, tmp_path):
         (webcorpus.crawl_corpus_snapshot, webcorpus.crawl_corpus_snapshot_sql()),
         (webcorpus.snapshot_diff, webcorpus.snapshot_diff_sql()),
         (webcorpus.url_normalize, webcorpus.url_normalize_sql()),
+        (webcorpus.lang_confusion, webcorpus.lang_confusion_sql()),
+        (webcorpus.host_quality_report, webcorpus.host_quality_report_sql()),
         (webcorpus.benchmark_contamination, webcorpus.benchmark_contamination_sql()),
     ]:
         _parity(fn(spark, str(tmp_path)), con, sql)
+
+
+# ---------------------------------------------------------------------------
+# quality monitoring compositions
+# ---------------------------------------------------------------------------
+
+def test_host_quality_report_semantics(spark, tmp_path):
+    """Kept-rate separates a junk host from a clean one: host 0 gets
+    50-word documents that pass every gate, host 1 gets lorem-ipsum
+    docs that fail."""
+    good = " ".join(["word"] * 50)
+    bad = "lorem ipsum " + " ".join(["word"] * 48)
+    rows = [(7 * i, good) for i in range(3)] + [(1 + 7 * i, bad) for i in range(2)]
+    _write_docs(tmp_path, rows)
+    out = {r["host"]: r for r in webcorpus.host_quality_report(spark, str(tmp_path)).collect()}
+    assert out["host0.example"]["n_docs"] == 3
+    assert out["host0.example"]["kept_rate"] == 1.0
+    assert out["host1.example"]["kept_rate"] == 0.0
+    assert out["host0.example"]["mean_words"] == 50.0
+
+    _parity(
+        webcorpus.host_quality_report(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.host_quality_report_sql(),
+    )
+
+
+def test_lang_confusion_shares(spark, tmp_path):
+    """English stopword-heavy docs predict 'en'; shares sum to 1 within
+    each labelled language."""
+    en_ish = "the a of the a of the a of"
+    other = "xyzzy plugh quux"
+    rows = [(0, en_ish), (1, en_ish), (2, other), (3, other)]
+    _write_docs(tmp_path, rows)
+    out = webcorpus.lang_confusion(spark, str(tmp_path)).collect()
+    by_cell = {(r["lang"], r["pred_lang"]): r for r in out}
+    assert by_cell[("en", "en")]["n_docs"] == 2
+    assert by_cell[("en", "und")]["n_docs"] == 2
+    assert abs(sum(r["lang_share"] for r in out) - 1.0) < 5e-6  # one lang
+
+    _parity(
+        webcorpus.lang_confusion(spark, str(tmp_path)),
+        _duck(tmp_path),
+        webcorpus.lang_confusion_sql(),
+    )
 
 
 # ---------------------------------------------------------------------------
