@@ -30,6 +30,7 @@ from pdf_extractor2_spark.operators import (
 )
 from pdf_extractor2_spark.plans import relational
 from pdf_extractor2_spark.plans.extract_job import run_extract
+from pdf_extractor2_spark.streaming import join_stream
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": relational.stratified_sample,
         "token_budget_sample": relational.token_budget_sample,
         "conversion_funnel": relational.conversion_funnel,
+        "view_purchase_attribution": join_stream.batch_view_purchase_join,
         # text analysis
         "token_stats": textstats.token_stats,
         "quality_scores": textstats.quality_scores,
@@ -377,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": relational.stratified_sample_sql(),
         "token_budget_sample": relational.token_budget_sample_sql(),
         "conversion_funnel": relational.conversion_funnel_sql(),
+        "view_purchase_attribution": join_stream.view_purchase_attribution_sql(),
         "token_stats": textstats.token_stats_sql(),
         "quality_scores": textstats.quality_scores_sql(),
         "bpe_token_stats": textstats.bpe_token_stats_sql(),
