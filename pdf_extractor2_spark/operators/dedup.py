@@ -209,15 +209,16 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    # the rounded jaccard is BOTH the threshold filter and the reported
+    # value — halfway-safe idiom so one x.xxxxx5 ratio can't flip the
+    # filter in only one engine
+    jac = round_half_up_expr("CAST(inter AS DOUBLE) / (na + nb - inter)", 6)
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_shingles", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("n_shingles", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
+        .withColumn("jaccard", F.expr(jac))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -423,6 +424,7 @@ def _shingled_sql(table: str) -> str:
 
 def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
                       max_df: int = MAX_SHINGLE_DF) -> str:
+    jac = round_half_up_expr("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)", 6)
     return f"""
         {_ids_sql(table)},
         hot AS (SELECT sid FROM ids GROUP BY sid HAVING COUNT(*) > {max_df}),
@@ -433,11 +435,11 @@ def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
           FROM capped a JOIN capped b ON a.sid = b.sid AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
-               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+               {jac} AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -543,8 +545,10 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         .agg(F.count("*").alias("inter"))
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .where(F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-               >= threshold)
+        .where(
+            F.expr(round_half_up_expr("CAST(inter AS DOUBLE) / (na + nb - inter)", 6))
+            >= threshold
+        )
     )
     near_dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
@@ -576,7 +580,7 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
           JOIN sizes sa ON sa.doc_id = a.doc_id
           JOIN sizes sb ON sb.doc_id = b.doc_id
           GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-          HAVING round(COUNT(*) * 1.0 / (sa.n + sb.n - COUNT(*)), 6) >= {threshold})
+          HAVING {round_half_up_expr("CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*))", 6)} >= {threshold})
         SELECT doc_id, n_exact_dups FROM exact_kept
         WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
     """

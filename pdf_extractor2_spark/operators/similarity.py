@@ -28,6 +28,14 @@ def _r6(x: str) -> str:
     return round_half_up_expr(x, 6)
 
 
+def _r4(x: str) -> str:
+    """Round-half-up to 4 decimals for cosine similarities — the rounded
+    value is an ORDER/threshold key everywhere in this module (top-k
+    ranks, near-dup thresholds), so a bare round()'s halfway divergence
+    between Spark and DuckDB would flip a rank or a filter."""
+    return round_half_up_expr(x, 4)
+
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " 0D, (acc, v) -> acc + v)"
@@ -51,7 +59,7 @@ def _cosine(df: DataFrame) -> DataFrame:
     na = _DOT.format(a="embedding", b="embedding")
     nb = _DOT.format(a="q", b="q")
     return df.withColumn(
-        "cos_sim", F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)")
+        "cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))"))
     )
 
 
@@ -221,7 +229,7 @@ def ann_ivf_topk(
     nb = _DOT.format(a="q", b="q")
     return (
         cell_rows.crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"))
+        .withColumn("cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")))
         .where(F.col("vec_id") != query_vec_id)
         .select("vec_id", F.col("cell").cast("int").alias("cell"), "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -315,7 +323,7 @@ def embedding_near_dup_pairs(
     nb = _DOT.format(a="emb_b", b="emb_b")
     return (
         cand.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cos_sim", F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 4)"))
+        .withColumn("cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")))
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -343,11 +351,11 @@ def embedding_near_dup_pairs_sql(
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b,
-               round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) AS cos_sim
+               {_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")} AS cos_sim
         FROM cand
         JOIN {table} ea ON ea.vec_id = vec_a
         JOIN {table} eb ON eb.vec_id = vec_b
-        WHERE round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) >= {threshold}
+        WHERE {_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")} >= {threshold}
     """
 
 
@@ -360,7 +368,7 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("norm"), 4).alias("mean_norm"),
+            F.expr(_r4("avg(norm)")).alias("mean_norm"),
         )
     )
 
@@ -380,7 +388,7 @@ def _cos_sql(table: str, query_vec_id: int) -> str:
         WITH q AS (SELECT embedding, label FROM {table} WHERE vec_id = {query_vec_id}),
         scored AS (
           SELECT e.vec_id, e.label, q.label AS q_label,
-                 round(({dot}) / (sqrt({na}) * sqrt({nb})), 4) AS cos_sim
+                 {_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")} AS cos_sim
           FROM {table} e, q)
     """
 
@@ -434,9 +442,9 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
                     FROM cvecs c CROSS JOIN q)
                   ORDER BY score, cell LIMIT {n_probe})
         SELECT e.vec_id, a2.cell,
-               round(list_dot_product(e.v, q.qv)
-                     / (sqrt(list_dot_product(e.v, e.v))
-                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+               {_r4("list_dot_product(e.v, q.qv)"
+                    " / (sqrt(list_dot_product(e.v, e.v))"
+                    " * sqrt(list_dot_product(q.qv, q.qv)))")} AS cos_sim
         FROM e JOIN a2 USING (vec_id) CROSS JOIN q
         WHERE a2.cell IN (SELECT cell FROM probe) AND e.vec_id != {query_vec_id}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
@@ -451,7 +459,8 @@ def ann_ivf_multiprobe_sql(table: str = "embeddings", query_vec_id: int = 0,
 def label_centroid_norms_sql(table: str = "embeddings") -> str:
     norm = _DOT_SQL.format(a="embedding", b="embedding")
     return f"""
-        SELECT label, COUNT(*) AS n_vecs, round(AVG(sqrt({norm})), 4) AS mean_norm
+        SELECT label, COUNT(*) AS n_vecs,
+               {_r4(f"AVG(sqrt({norm}))")} AS mean_norm
         FROM {table} GROUP BY label
     """
 
