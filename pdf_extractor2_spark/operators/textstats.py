@@ -341,13 +341,19 @@ def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines: integer sum / integer count); only the reported
     column is rounded.  The token-length fold is projected ONCE (``ml``)
     and every gate references the projection — inlining it would run
-    the O(tokens) fold three times per row in codegen."""
+    the O(tokens) fold three times per row in codegen.
+
+    ``text`` is coalesced to '' BEFORE tokenizing (mirrored in the
+    oracle SQL): on a non-ANSI session ``size(split(NULL))`` returns -1
+    (spark.sql.legacy.sizeOfNull) while DuckDB's ``len(NULL)`` is NULL —
+    the guard makes parity independent of the session's ANSI flag."""
     mean_len = (
         "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
         " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
     )
     d = (
         _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.expr("coalesce(text, '')").alias("text"))
         .select("doc_id", "lang", "text", F.expr("split(text, ' ')").alias("toks"))
         .select(
             "doc_id", "lang", "text", "toks", F.expr(mean_len).alias("ml")
@@ -378,7 +384,8 @@ def quality_gates_sql(table: str = "documents") -> str:
         "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)"
     )
     return f"""
-        WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+        WITH toks AS (SELECT doc_id, lang, coalesce(text, '') AS text,
+                             string_split(coalesce(text, ''), ' ') AS t
                       FROM {table})
         SELECT doc_id, lang,
                CAST(len(t) AS BIGINT) AS n_words,

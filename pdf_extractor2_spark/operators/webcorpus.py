@@ -165,8 +165,13 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global denominator is a 1-row aggregate broadcast into a
     map-side join — never an unpartitioned window (which would shuffle
-    the whole per-host table through one reducer at 10^8 hosts)."""
-    web = _web(spark, sf_dir)
+    the whole per-host table through one reducer at 10^8 hosts).
+
+    The web projection feeds BOTH the per-host aggregate and the global
+    denominator — persisted (scoped) so the documents scan runs once
+    (single-FileScan pinned in tests/test_plans.py)."""
+    _scoped_clear()
+    web = _scoped_persist(_web(spark, sf_dir))
     per_host = web.groupBy("host").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("url").cast("long").alias("n_urls"),
@@ -277,10 +282,14 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monitoring view that tells a multilingual pipeline where its
     language router misroutes.  Composes ``textstats.lang_id``; two
     partial-aggregable hash aggregates + a per-lang join (the per-lang
-    table is one row per language — broadcast-size at any corpus)."""
+    table is one row per language — broadcast-size at any corpus).
+    The prediction projection feeds both aggregates — persisted
+    (scoped) so the documents scan and the per-row language heuristic
+    run once."""
     from .textstats import lang_id
 
-    pred = lang_id(spark, sf_dir)
+    _scoped_clear()
+    pred = _scoped_persist(lang_id(spark, sf_dir))
     cells = pred.groupBy("lang", "pred_lang").agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -438,11 +447,17 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case when query = '' then ''"
         " else concat('?', concat_ws('&', sort_array(split(query, '&')))) end"
     )
-    canon = parts.select(
-        "doc_id", "raw_url",
-        F.concat(
-            F.col("scheme"), F.lit("://"), host, path_norm, query_norm
-        ).alias("canon_url"),
+    # canon feeds both the per-canonical-url form count and the output
+    # join — persisted (scoped) so the regex canonicalization pipeline
+    # (and the scan under it) runs once, not twice
+    _scoped_clear()
+    canon = _scoped_persist(
+        parts.select(
+            "doc_id", "raw_url",
+            F.concat(
+                F.col("scheme"), F.lit("://"), host, path_norm, query_norm
+            ).alias("canon_url"),
+        )
     )
     forms = canon.groupBy("canon_url").agg(
         F.countDistinct("raw_url").alias("n_raw_forms")
@@ -515,7 +530,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WARC_EXPR).alias("warc_epoch"),
         (F.col("doc_id") % 2).alias("era"),
     )
-    latest = (
+    # latest feeds both era branches of the full outer join — persisted
+    # (scoped) so the per-era recrawl-dedup aggregate (and its scan)
+    # runs once, not once per side
+    _scoped_clear()
+    latest = _scoped_persist(
         web.groupBy("era", "url")
         .agg(
             F.expr(

@@ -791,10 +791,13 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
     deterministic because bucket assignment and order are both pure
     functions of doc_id."""
     per_bucket = budget_tokens // n_buckets
+    # coalesce(text, '') before split: non-ANSI sessions return -1 from
+    # size(split(NULL)) (legacy.sizeOfNull) while DuckDB len(NULL) is
+    # NULL — the guard keeps parity independent of the ANSI flag
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.expr("cast(size(split(text, ' ')) as long)").alias("n_tokens"),
+        F.expr("cast(size(split(coalesce(text, ''), ' ')) as long)").alias("n_tokens"),
     )
     h = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483647)
     w = (
@@ -822,7 +825,8 @@ def token_budget_sample_sql(budget_tokens: int = 60_000, n_buckets: int = 8) -> 
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_tokens
           FROM (SELECT doc_id, lang, doc_id % {n_buckets} AS bucket,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                         AS n_tokens
                 FROM documents))
         WHERE cum_tokens <= {per_bucket}
     """

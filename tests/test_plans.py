@@ -268,6 +268,21 @@ def test_duplicate_span_stats_scans_documents_once(spark):
     assert _unique_parquet_scans(plan) == 1, plan
 
 
+def test_multibranch_webcorpus_queries_scan_documents_once(spark):
+    """ADVICE r3: host_stats/lang_confusion/url_normalize/snapshot_diff
+    reference a shared subtree from two branches — each must persist it
+    (scoped) so the documents scan (and the per-row work above it)
+    executes exactly once per query."""
+    from pdf_extractor2_spark.operators import webcorpus
+
+    for fn in (webcorpus.host_stats, webcorpus.lang_confusion,
+               webcorpus.url_normalize, webcorpus.snapshot_diff):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "documents.parquet" in plan, fn.__name__
+        assert _unique_parquet_scans(plan) == 1, (fn.__name__, plan)
+        assert "InMemoryTableScan" in plan, fn.__name__
+
+
 def test_knn_join_is_broadcast_and_sortless(spark):
     """The batch KNN join must broadcast the query set and rank via the
     two-phase bounded aggregate — no window Sort over corpus rows, no
