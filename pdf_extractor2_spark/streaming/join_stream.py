@@ -96,25 +96,62 @@ def stream_view_purchase_join(
     return writer.start()
 
 
-def batch_view_purchase_join(
-    spark: SparkSession, sf_dir: str, horizon: str = "2 hours"
+def _bucketed_interval_join(
+    views: DataFrame, purchases: DataFrame, horizon_s: int
 ) -> DataFrame:
-    """The batch equivalent (bounded input, no watermark needed)."""
+    """Core of the batch interval join over prepared view/purchase
+    frames, skew-safe: the join key is (user, horizon-sized time
+    bucket), not user alone — a bot user with 10^6 views and 10^6
+    purchases on a bare-user key would fan out 10^12 pairs on ONE
+    shuffle key (the round-3 VERDICT finding); bucketing bounds each
+    join group to one user's events inside one horizon-sized slice of
+    time.  A view lands in exactly one bucket and a qualifying purchase
+    (view_ts < p ≤ view_ts + horizon) lies in the view's bucket or the
+    next, so the purchase side — the small side of an attribution
+    workload — is replicated 2× with tb ∈ {pb-1, pb} and every
+    qualifying pair matches exactly once.  The exact interval predicate
+    still filters inside each group, so the result is identical to the
+    plain equi-join + interval filter (the DuckDB oracle runs that
+    form).  Same pattern as relational._nearby_event_counts; split out
+    so the hot-user bound is testable on a synthetic fixture
+    (tests/test_plans.py::test_view_purchase_join_hot_user_bounded)."""
+    v_bucket = F.floor(
+        F.col("view_ts").cast("double") / F.lit(float(horizon_s))
+    ).cast("long")
+    p_bucket = F.floor(
+        F.col("purchase_ts").cast("double") / F.lit(float(horizon_s))
+    ).cast("long")
+    v = views.withColumn("tb", v_bucket)
+    p = purchases.withColumn("tb", F.explode(F.array(p_bucket - 1, p_bucket)))
+    return (
+        v.alias("v")
+        .join(
+            p.alias("p"),
+            (F.col("v.v_user") == F.col("p.p_user"))
+            & (F.col("v.tb") == F.col("p.tb"))
+            & (F.col("p.purchase_ts") > F.col("v.view_ts"))
+            & (
+                F.col("p.purchase_ts")
+                <= F.col("v.view_ts") + F.expr(f"INTERVAL {horizon_s} SECOND")
+            ),
+        )
+        .select(*_PROJECTION)
+    )
+
+
+def batch_view_purchase_join(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 7200
+) -> DataFrame:
+    """The batch equivalent (bounded input, no watermark needed) of the
+    streaming interval join, bucketized against hot-user skew (see
+    ``_bucketed_interval_join``).  The streaming twin needs no bucket:
+    its watermark bounds buffered state per side."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type", "value",
     )
     views, purchases = _sides(events)
-    return (
-        views.join(
-            purchases,
-            F.expr(
-                f"v_user = p_user AND purchase_ts > view_ts"
-                f" AND purchase_ts <= view_ts + interval {horizon}"
-            ),
-        )
-        .select(*_PROJECTION)
-    )
+    return _bucketed_interval_join(views, purchases, horizon_s)
 
 
 def view_purchase_attribution_sql(horizon_hours: int = 2) -> str:

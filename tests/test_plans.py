@@ -248,6 +248,47 @@ def test_range_join_hot_user_bounded(spark):
     assert got == want, (sorted(got.items())[:3], sorted(want.items())[:3])
 
 
+def test_view_purchase_join_hot_user_bounded(spark):
+    """Hot-user skew guard for the batch interval join (VERDICT r3 #2):
+    the join keys on (user, horizon-sized time bucket) with the purchase
+    side replicated 2×, so a bot user's views meet only the purchases of
+    two adjacent buckets — never the user's full history.  Checks (a)
+    exact matches against a closed-form expectation on a single-hot-user
+    fixture and (b) the bucket key participating in the physical join."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor2_spark.streaming.join_stream import (
+        _bucketed_interval_join,
+        _sides,
+    )
+
+    n, spacing, horizon = 1000, 600, 7200
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * spacing).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.when(F.col("id") % 5 == 0, "purchase").otherwise("view").alias(
+            "event_type"
+        ),
+        F.lit(1.0).alias("value"),
+    )
+    views, purchases = _sides(ev)
+    out = _bucketed_interval_join(views, purchases, horizon)
+
+    plan = _plan(out)
+    assert "tb" in plan, plan  # bucket key participates in the join
+
+    got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
+    reach = horizon // spacing  # purchase i matches views in [i-reach, i)
+    want = sorted(
+        (v, p)
+        for p in range(0, n, 5)
+        for v in range(max(0, p - reach), p)
+        if v % 5 != 0
+    )
+    assert got == want and got
+
+
 def test_training_corpus_filter_scans_documents_once(spark):
     """The composed filter references the quality-filtered table from
     two branches (exact-dedup aggregate + survivors join) and the
