@@ -671,33 +671,9 @@ def stratified_sample_sql(per_lang: int = 20) -> str:
     """
 
 
-def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-sequence funnel (view → click → purchase): per user,
-    which prefix of the funnel they completed IN ORDER, then one
-    corpus-level summary row.
-
-    Strict semantics: stage k's timestamp is the earliest qualifying
-    event STRICTLY AFTER stage k-1's timestamp — a click that precedes
-    the user's first view does not complete the click stage (the first
-    click AFTER the first view does, even when an earlier stray click
-    exists).  Each stage's filter depends on the previous stage's
-    per-user result, so one aggregate pass cannot express it.
-
-    Computed as three stacked whole-partition window MINs (``PARTITION
-    BY user_id``, no ORDER BY), then one per-user reduction and one
-    global aggregate.  Honest plan shape: ONE exchange, but WindowExec
-    groups partitions with a Sort(user_id) and buffers each user's
-    rows (spilling past a threshold) — events-per-user is session-
-    bounded in this domain, so the buffer is small; a pathologically
-    hot user (bot with 10^8 events) would need the alternative
-    formulation, a 3-step aggregate→join chain (per-stage conditional
-    MIN aggregates joined back to events), which is partial-aggregable
-    and never buffers but shuffles the events table three times.  The
-    DuckDB oracle runs the identical window MINs."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type",
-        F.col("ts").cast("timestamp").cast("double").alias("epoch"),
-    )
+def _funnel_per_user_window(ev: DataFrame) -> DataFrame:
+    """Per-user stage times via three stacked whole-partition window
+    MINs — ONE exchange, but WindowExec buffers each user's rows."""
     w = Window.partitionBy("user_id")
     t_view = F.min(
         F.when(F.col("event_type") == "view", F.col("epoch"))
@@ -716,7 +692,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epoch"),
         )
     ).over(w)
-    per_user = (
+    return (
         staged2.withColumn("t_purch", t_purch)
         .groupBy("user_id")
         .agg(
@@ -724,6 +700,78 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("t_click").alias("t_click"),
             F.first("t_purch").alias("t_purch"),
         )
+    )
+
+
+def _funnel_per_user_agg_join(ev: DataFrame) -> DataFrame:
+    """Per-user stage times as a 3-step aggregate→join chain: each
+    stage is a conditional MIN hash aggregate (partial-aggregable — a
+    bot user's 10^8 events reduce map-side) joined back to the event
+    stream to gate the next stage.  Never buffers a user's rows, at the
+    cost of shuffling the events table three times — the hot-user-safe
+    physical variant of the identical logical funnel."""
+    t_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_view"))
+    )
+    t_click = (
+        ev.join(t_view, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("epoch") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_click"))
+    )
+    t_purch = (
+        ev.join(t_click, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("epoch") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_purch"))
+    )
+    return (
+        ev.select("user_id").distinct()
+        .join(t_view, "user_id", "left")
+        .join(t_click, "user_id", "left")
+        .join(t_purch, "user_id", "left")
+    )
+
+
+def conversion_funnel(
+    spark: SparkSession, sf_dir: str, hot_user_safe: bool = False
+) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per user,
+    which prefix of the funnel they completed IN ORDER, then one
+    corpus-level summary row.
+
+    Strict semantics: stage k's timestamp is the earliest qualifying
+    event STRICTLY AFTER stage k-1's timestamp — a click that precedes
+    the user's first view does not complete the click stage (the first
+    click AFTER the first view does, even when an earlier stray click
+    exists).  Each stage's filter depends on the previous stage's
+    per-user result, so one aggregate pass cannot express it.
+
+    Two physical variants of the identical logical funnel (equality
+    pinned by tests/test_funnel.py):
+
+    * default: three stacked whole-partition window MINs (``PARTITION
+      BY user_id``, no ORDER BY) — ONE exchange, but WindowExec groups
+      partitions with a Sort(user_id) and buffers each user's rows
+      (spilling past a threshold).  Right when events-per-user is
+      session-bounded (this domain).
+    * ``hot_user_safe=True``: the 3-step aggregate→join chain
+      (``_funnel_per_user_agg_join``) — partial-aggregable conditional
+      MINs that never buffer a user's rows, but shuffle the events
+      table three times.  Right when a bot user can hold 10^8 events.
+
+    The DuckDB oracle runs the window MINs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("epoch"),
+    )
+    per_user = (
+        _funnel_per_user_agg_join(ev) if hot_user_safe
+        else _funnel_per_user_window(ev)
     )
     return per_user.agg(
         F.count("*").cast("long").alias("n_users"),
