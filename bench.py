@@ -49,19 +49,20 @@ GENERIC_QUERIES = [
     "parts_by_brand",
     "top_orders_per_customer",
     "sessionize_events",
-    "token_stats",
-    "doc_fingerprints",
+    # round-4 consolidated rows (doc_profile fuses the 7 per-doc text
+    # ops; top_tokens now carries global + per-lang heavy hitters)
+    "doc_profile",
     "top_tokens",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "simhash",
+    # round-4: the two multi-join heavy queries VERDICT r3 flagged as
+    # never-benched
+    "dedup_groups",
+    "ann_knn_join",
     "ann_cosine_topk",
-    # round-3 training-pipeline additions
     "duplicate_span_stats",
-    "repetition_stats",
-    "quality_gates",
-    "top_tokens_by_lang",
     "token_budget_sample",
     # web-corpus management additions
     "latest_page_version",
@@ -70,6 +71,7 @@ GENERIC_QUERIES = [
     "crawl_corpus_snapshot",
     "snapshot_diff",
     "url_normalize",
+    "host_profile",
 ]
 
 

@@ -244,6 +244,24 @@ def ann_ivf_multiprobe(
     return ann_ivf_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, n_probe=3)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+            k: int = 5) -> DataFrame:
+    """The IVF search at BOTH probe settings as one driver row —
+    ``n_probe`` is the recall/cost knob, and grading the two settings
+    together pins that widening the probe set genuinely changes (and
+    only ever improves) the candidate pool.  Both branches read the
+    same cached cell-partitioned index (``build_ivf_index`` is
+    idempotent per dataset fingerprint), so the union costs one index
+    build + two pruned scans."""
+    a = ann_ivf_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, n_probe=1
+    ).withColumn("n_probe", F.lit(1))
+    b = ann_ivf_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, n_probe=3
+    ).withColumn("n_probe", F.lit(3))
+    return a.unionByName(b)
+
+
 # measured recall/cost curve at sf0.01 vs ground truth (cos >= 0.35),
 # exact same banding arithmetic run in DuckDB (n=500, 124,750 pairs,
 # 272 true near-dups; n_bands*band_dims must stay <= EMB_DIMS):
@@ -288,6 +306,15 @@ def embedding_near_dup_pairs(
 
     _scoped_clear()
     emb = _scoped_persist(_emb(spark, sf_dir))
+    return _near_dup_pairs_from(emb, threshold, n_bands, band_dims)
+
+
+def _near_dup_pairs_from(
+    emb: DataFrame, threshold: float, n_bands: int, band_dims: int
+) -> DataFrame:
+    """Core of the banded hyperplane-LSH near-dup join over an
+    ALREADY-PERSISTED embeddings frame (every branch — band a/b,
+    exact-score a/b — reads the caller's cache)."""
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
@@ -326,6 +353,60 @@ def embedding_near_dup_pairs(
         .withColumn("cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")))
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def embedding_near_dup_labeled(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35,
+    n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+) -> DataFrame:
+    """Near-dup pairs enriched with each side's label and the label's
+    centroid-norm profile (``label_centroid_norms``) — one driver row
+    grading BOTH the banded-LSH pair search and the per-label norm
+    aggregate.  All five branches (bands a/b, exact-score a/b, labels,
+    norms) read the ONE persisted embeddings scan; the per-label norm
+    table is label-count-sized, so its two joins broadcast at any
+    corpus scale."""
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    emb = _scoped_persist(_emb(spark, sf_dir))
+    pairs = _near_dup_pairs_from(emb, threshold, n_bands, band_dims)
+
+    labels = emb.select("vec_id", "label")
+    norm = _DOT.format(a="embedding", b="embedding")
+    norms = (
+        emb.withColumn("norm", F.expr(f"sqrt({norm})"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.expr(_r4("avg(norm)")).alias("mean_norm"),
+        )
+    )
+    la = labels.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+    )
+    na_ = norms.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vecs").alias("n_vecs_a"),
+        F.col("mean_norm").alias("mean_norm_a"),
+    )
+    nb_ = norms.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vecs").alias("n_vecs_b"),
+        F.col("mean_norm").alias("mean_norm_b"),
+    )
+    return (
+        pairs.join(la, "vec_a").join(lb, "vec_b")
+        .join(F.broadcast(na_), "label_a")
+        .join(F.broadcast(nb_), "label_b")
+        .select(
+            "vec_a", "vec_b", "cos_sim", "label_a", "label_b",
+            "n_vecs_a", "mean_norm_a", "n_vecs_b", "mean_norm_b",
+        )
     )
 
 
@@ -454,6 +535,38 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
 def ann_ivf_multiprobe_sql(table: str = "embeddings", query_vec_id: int = 0,
                            k: int = 5) -> str:
     return ann_ivf_topk_sql(table, query_vec_id, k, n_probe=3)
+
+
+def ann_ivf_sql(table: str = "embeddings", query_vec_id: int = 0,
+                k: int = 5) -> str:
+    return f"""
+        SELECT CAST(1 AS INTEGER) AS n_probe, s.* FROM (
+          {ann_ivf_topk_sql(table, query_vec_id, k, n_probe=1)}
+        ) s
+        UNION ALL
+        SELECT CAST(3 AS INTEGER) AS n_probe, s.* FROM (
+          {ann_ivf_multiprobe_sql(table, query_vec_id, k)}
+        ) s
+    """
+
+
+def embedding_near_dup_labeled_sql(
+    table: str = "embeddings", threshold: float = 0.35,
+    n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+) -> str:
+    pairs = embedding_near_dup_pairs_sql(table, threshold, n_bands, band_dims)
+    norms = label_centroid_norms_sql(table)
+    return f"""
+        SELECT p.vec_a, p.vec_b, p.cos_sim,
+               la.label AS label_a, lb.label AS label_b,
+               na.n_vecs AS n_vecs_a, na.mean_norm AS mean_norm_a,
+               nb.n_vecs AS n_vecs_b, nb.mean_norm AS mean_norm_b
+        FROM ({pairs}) p
+        JOIN {table} la ON la.vec_id = p.vec_a
+        JOIN {table} lb ON lb.vec_id = p.vec_b
+        JOIN ({norms}) na ON na.label = la.label
+        JOIN ({norms}) nb ON nb.label = lb.label
+    """
 
 
 def label_centroid_norms_sql(table: str = "embeddings") -> str:

@@ -37,18 +37,20 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: stopword ratio + mean token length +
-    char-per-token density (length/punct/stopword family, SURVEY scope)."""
+    char-per-token density (length/punct/stopword family, SURVEY scope).
+    Ratios use the shared half-up idiom (a ratio of small integers can
+    land exactly on x.xxxxxx5)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.expr(
-            "round(cast(size(filter(split(text, ' '), t -> t in ('the', 'a'))) as double)"
-            " / size(split(text, ' ')), 6)"
-        ).alias("stopword_ratio"),
-        F.expr(
-            "round(cast(aggregate(transform(split(text, ' '), t -> length(t)),"
-            " 0L, (acc, x) -> acc + x) as double) / size(split(text, ' ')), 6)"
-        ).alias("mean_token_len"),
+        F.expr(_f6(
+            "cast(size(filter(split(text, ' '), t -> t in ('the', 'a'))) as double)"
+            " / size(split(text, ' '))"
+        )).alias("stopword_ratio"),
+        F.expr(_f6(
+            "cast(aggregate(transform(split(text, ' '), t -> length(t)),"
+            " 0L, (acc, x) -> acc + x) as double) / size(split(text, ' '))"
+        )).alias("mean_token_len"),
         F.expr(
             "case when length(text) >= 200 and size(split(text, ' ')) >= 40"
             " then 'keep' else 'drop' end"
@@ -94,20 +96,23 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
         ).alias("n_bpe_tokens"),
         F.expr("cast(size(split(text, ' ')) as long)").alias("n_ws_tokens"),
-        F.expr(
-            f"round(cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as double)"
-            " / size(split(text, ' ')), 6)"
-        ).alias("bpe_per_word"),
+        F.expr(_f6(
+            f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as double)"
+            " / size(split(text, ' '))"
+        )).alias("bpe_per_word"),
     )
 
 
 def bpe_token_stats_sql(table: str = "documents") -> str:
+    bpw = _f6(
+        f"CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)"
+        " / len(string_split(text, ' '))"
+    )
     return f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-               round(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS bpe_per_word
+               {bpw} AS bpe_per_word
         FROM {table}
     """
 
@@ -137,14 +142,20 @@ def token_stats_sql(table: str = "documents") -> str:
 
 
 def quality_scores_sql(table: str = "documents") -> str:
+    sw = _f6(
+        "CAST(len(list_filter(string_split(text, ' '),"
+        " t -> t IN ('the', 'a'))) AS DOUBLE)"
+        " / len(string_split(text, ' '))"
+    )
+    mtl = _f6(
+        "CAST(list_sum(list_transform(string_split(text, ' '),"
+        " t -> length(t))) AS DOUBLE)"
+        " / len(string_split(text, ' '))"
+    )
     return f"""
         SELECT doc_id, lang,
-               round(CAST(len(list_filter(string_split(text, ' '),
-                                          t -> t IN ('the', 'a'))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
-               round(CAST(list_sum(list_transform(string_split(text, ' '),
-                                                  t -> length(t))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS mean_token_len,
+               {sw} AS stopword_ratio,
+               {mtl} AS mean_token_len,
                CASE WHEN length(text) >= 200 AND len(string_split(text, ' ')) >= 40
                     THEN 'keep' ELSE 'drop' END AS quality_bucket
         FROM {table}
@@ -439,4 +450,266 @@ def top_tokens_by_lang_sql(table: str = "documents", k: int = 5) -> str:
                                          ORDER BY n DESC, token ASC) AS INTEGER) AS rank
           FROM freq)
         SELECT lang, token, n, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# round 4: consolidated driver rows (SURVEY.md §2 coverage per graded query)
+# ---------------------------------------------------------------------------
+
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis profile as ONE fused pass: token
+    counts, quality heuristics, rolling-hash fingerprint, language-ID,
+    BPE-ish subword counts, C4 quality gates, and Gopher repetition
+    signals — every column a per-row Spark-SQL expression except the
+    top-token mass (one exploded hash aggregate joined back on doc_id).
+
+    This is the production shape for corpus-wide profiling at 10^12
+    docs: where the individual operators of this module each re-scan
+    and re-tokenize, the fused plan scans ONCE, tokenizes ONCE (the
+    persisted ``base`` projection feeds the per-row branch and the
+    token-frequency branch), and ships one wide row per document.
+    Pinned single-FileScan by tests/test_plans.py; pinned equal,
+    column-for-column, to the individual operators by
+    tests/test_textstats_edge.py::test_doc_profile_matches_individual_ops.
+
+    ``text`` is coalesced to '' before any tokenize (ANSI-flag-
+    independent parity — see ``quality_gates``)."""
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    base = _scoped_persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.expr("coalesce(text, '')").alias("text"),
+            F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
+        )
+    )
+    # expensive folds projected once, referenced by several columns
+    stage1 = base.select(
+        "doc_id", "lang", "text", "toks",
+        F.expr(
+            "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
+            " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
+        ).alias("ml"),
+        F.expr(
+            f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
+        ).alias("nbpe"),
+    )
+    d3 = (
+        "case when size(toks) < 3 then 0 else size(array_distinct("
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ',"
+        " element_at(toks, i + 1), element_at(toks, i + 2),"
+        " element_at(toks, i + 3))))) end"
+    )
+    per_row = stage1.select(
+        "doc_id",
+        "lang",
+        F.expr("cast(size(toks) as long)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as long)").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr("cast(length(text) as long)").alias("n_chars_actual"),
+        F.expr(_f6(
+            "cast(size(filter(toks, t -> t in ('the', 'a'))) as double)"
+            " / size(toks)"
+        )).alias("stopword_ratio"),
+        F.expr(_f6("ml")).alias("mean_token_len"),
+        F.expr(
+            "case when length(text) >= 200 and size(toks) >= 40"
+            " then 'keep' else 'drop' end"
+        ).alias("quality_bucket"),
+        F.expr(
+            f"aggregate(transform(split(text, ''), c -> ascii(c)),"
+            f" 0L, (acc, c) -> (acc * 31 + c) % {MOD})"
+        ).alias("fingerprint"),
+        F.expr(
+            "case when size(filter(toks, t -> t in ('the', 'a', 'of')))"
+            " * 10 >= size(toks) then 'en' else 'und' end"
+        ).alias("pred_lang"),
+        F.col("nbpe").alias("n_bpe_tokens"),
+        F.expr(_f6("CAST(nbpe AS DOUBLE) / size(toks)")).alias("bpe_per_word"),
+        F.expr("size(toks) >= 50").alias("has_min_words"),
+        F.expr(
+            "ml >= CAST(3 AS DOUBLE) AND ml <= CAST(10 AS DOUBLE)"
+        ).alias("word_len_ok"),
+        F.expr("NOT contains(lower(text), 'lorem ipsum')").alias("no_lorem"),
+        F.expr("NOT contains(text, '{')").alias("no_brace"),
+        F.expr(
+            "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
+            " AND ml <= CAST(10 AS DOUBLE)"
+            " AND NOT contains(lower(text), 'lorem ipsum')"
+            " AND NOT contains(text, '{')"
+        ).alias("kept"),
+        F.expr("cast(greatest(size(toks) - 2, 0) as long)").alias("n_3grams"),
+        F.expr(f"cast({d3} as long)").alias("n_distinct_3grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_c"))
+    )
+    dup_frac = _f6(
+        "CAST(1 AS DOUBLE) - CAST(n_distinct_3grams AS DOUBLE) / n_3grams"
+    )
+    top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
+    keep = [f.name for f in per_row.schema.fields]
+    return per_row.join(top, "doc_id").select(
+        *keep,
+        F.expr(
+            f"case when n_3grams = 0 then CAST(0 AS DOUBLE) else {dup_frac} end"
+        ).alias("dup_3gram_frac"),
+        F.expr(top_frac).alias("top_token_frac"),
+    )
+
+
+def doc_profile_sql(table: str = "documents") -> str:
+    sw = _f6(
+        "CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)"
+    )
+    dup_frac = _f6(
+        "CAST(1 AS DOUBLE) - CAST(n_distinct_3grams AS DOUBLE) / n_3grams"
+    )
+    top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lang, coalesce(text, '') AS text,
+                 string_split(coalesce(text, ''), ' ') AS t
+          FROM {table}),
+        s1 AS (
+          SELECT doc_id, lang, text, t,
+                 CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / len(t) AS ml,
+                 CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+                   AS nbpe
+          FROM base),
+        per_row AS (
+          SELECT doc_id, lang,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars_actual,
+                 {sw} AS stopword_ratio,
+                 {_f6("ml")} AS mean_token_len,
+                 CASE WHEN length(text) >= 200 AND len(t) >= 40
+                      THEN 'keep' ELSE 'drop' END AS quality_bucket,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     [CAST(ascii(substr(text, i, 1)) AS BIGINT)
+                      for i in generate_series(1, length(text))]),
+                   (acc, c) -> (acc * 31 + c) % {MOD}) AS fingerprint,
+                 CASE WHEN len(list_filter(t, x -> x IN ('the', 'a', 'of')))
+                           * 10 >= len(t)
+                      THEN 'en' ELSE 'und' END AS pred_lang,
+                 nbpe AS n_bpe_tokens,
+                 {_f6("CAST(nbpe AS DOUBLE) / len(t)")} AS bpe_per_word,
+                 len(t) >= 50 AS has_min_words,
+                 ml >= CAST(3 AS DOUBLE) AND ml <= CAST(10 AS DOUBLE)
+                   AS word_len_ok,
+                 NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+                 NOT contains(text, '{{') AS no_brace,
+                 len(t) >= 50 AND ml >= CAST(3 AS DOUBLE)
+                   AND ml <= CAST(10 AS DOUBLE)
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{{') AS kept,
+                 CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_3grams,
+                 CAST(CASE WHEN len(t) < 3 THEN 0 ELSE
+                   len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in generate_series(1, len(t) - 2)]))
+                 END AS BIGINT) AS n_distinct_3grams
+          FROM s1),
+        tok AS (SELECT doc_id, unnest(t) AS tk FROM base),
+        cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c
+                FROM cnt GROUP BY 1)
+        SELECT doc_id, lang, n_tokens, n_distinct_tokens, n_chars_actual,
+               stopword_ratio, mean_token_len, quality_bucket, fingerprint,
+               pred_lang, n_bpe_tokens, bpe_per_word, has_min_words,
+               word_len_ok, no_lorem, no_brace, kept, n_3grams,
+               n_distinct_3grams,
+               CASE WHEN n_3grams = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE {dup_frac} END AS dup_3gram_frac,
+               {top_frac} AS top_token_frac
+        FROM per_row JOIN top USING (doc_id)
+    """
+
+
+def top_tokens_combined(
+    spark: SparkSession, sf_dir: str, k_global: int = 30, k_lang: int = 5
+) -> DataFrame:
+    """Corpus heavy hitters, global AND per-language, from ONE persisted
+    (lang, token) frequency aggregate — the global counts are the
+    per-lang counts re-aggregated, so the corpus scans once.  Global
+    rows carry ``lang = '*'``.  The per-lang ranking windows over
+    |vocab per lang| aggregated rows; the global ranking windows over
+    an already-TakeOrdered ``k_global``-row set (never a full sort of
+    the vocabulary)."""
+    from pyspark.sql import Window
+
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    freq = _scoped_persist(
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            F.explode(F.expr("split(coalesce(text, ''), ' ')")).alias("token"),
+        )
+        .where(F.length("token") > 1)
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    by_lang = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_lang)
+        .select(
+            "lang", "token",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    glob_top = (
+        freq.groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k_global)
+    )
+    wg = Window.orderBy(F.desc("n"), F.asc("token"))
+    glob = (
+        glob_top.withColumn("rank", F.row_number().over(wg).cast("int"))
+        .select(F.lit("*").alias("lang"), "token", "n", "rank")
+    )
+    return by_lang.unionByName(glob)
+
+
+def top_tokens_combined_sql(
+    table: str = "documents", k_global: int = 30, k_lang: int = 5
+) -> str:
+    return f"""
+        WITH freq AS (
+          SELECT lang, token, COUNT(*) AS n
+          FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' '))
+                         AS token
+                FROM {table})
+          WHERE length(token) > 1
+          GROUP BY 1, 2),
+        by_lang AS (
+          SELECT lang, token, CAST(n AS BIGINT) AS n,
+                 CAST(row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, token ASC)
+                      AS INTEGER) AS rank
+          FROM freq),
+        gtot AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n
+                 FROM freq GROUP BY token),
+        glob_ranked AS (
+          SELECT '*' AS lang, token, n,
+                 CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                      AS INTEGER) AS rank
+          FROM gtot)
+        SELECT lang, token, n, rank FROM by_lang WHERE rank <= {k_lang}
+        UNION ALL
+        SELECT lang, token, n, rank FROM glob_ranked WHERE rank <= {k_global}
     """

@@ -371,6 +371,106 @@ def host_quality_report_sql(table: str = "documents") -> str:
     """
 
 
+def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile AND curation view fused into ONE
+    aggregate (round-4 consolidation of ``host_stats`` +
+    ``host_quality_report``): doc/url counts, char mass, corpus share,
+    C4-gate survival rate, and mean document length — one persisted
+    per-row projection (gate columns are per-row codegen), one hash
+    aggregate keyed on host, one broadcast of the 1-row denominator.
+    Strictly cheaper than running the two source queries separately
+    (they each re-scanned and re-tokenized); pinned single-FileScan in
+    tests/test_plans.py.  Per-column semantics are the source queries',
+    verbatim — pinned equal by tests/test_webcorpus.py."""
+    ml = (
+        "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
+        " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
+    )
+    kept = (
+        "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
+        " AND ml <= CAST(10 AS DOUBLE)"
+        " AND NOT contains(lower(text), 'lorem ipsum')"
+        " AND NOT contains(text, '{')"
+    )
+    _scoped_clear()
+    rows = _scoped_persist(
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "n_chars",
+            F.expr(_HOST_EXPR).alias("host"),
+            F.expr(_URL_EXPR).alias("url"),
+            F.expr("coalesce(text, '')").alias("text"),
+            F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
+        )
+        .withColumn("ml", F.expr(ml))
+        .select(
+            "host", "url", "n_chars",
+            F.expr("cast(size(toks) as long)").alias("n_words"),
+            F.expr(f"case when {kept} then 1 else 0 end").alias("kept_i"),
+        )
+    )
+    per_host = rows.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("kept_i").cast("long").alias("n_kept"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+    )
+    total = rows.agg(F.count("*").cast("double").alias("corpus_docs"))
+    share = round_half_up_expr("CAST(n_docs AS DOUBLE) / corpus_docs", 6)
+    rate = round_half_up_expr("CAST(n_kept AS DOUBLE) / n_docs", 6)
+    mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
+    return (
+        per_host.crossJoin(F.broadcast(total))
+        .select(
+            "host", "n_docs", "n_urls", "total_chars",
+            F.expr(share).alias("docs_share"),
+            "n_kept",
+            F.expr(rate).alias("kept_rate"),
+            F.expr(mean_words).alias("mean_words"),
+        )
+    )
+
+
+def host_profile_sql(table: str = "documents") -> str:
+    share = round_half_up_expr("CAST(n_docs AS DOUBLE) / corpus_docs", 6)
+    rate = round_half_up_expr("CAST(n_kept AS DOUBLE) / n_docs", 6)
+    mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, n_chars, {_HOST_SQL} AS host, {_URL_SQL} AS url,
+                 coalesce(text, '') AS text,
+                 string_split(coalesce(text, ''), ' ') AS t
+          FROM {table}),
+        s1 AS (
+          SELECT host, url, n_chars, text, t,
+                 CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / len(t) AS ml
+          FROM base),
+        per_row AS (
+          SELECT host, url, n_chars,
+                 CAST(len(t) AS BIGINT) AS n_words,
+                 CASE WHEN len(t) >= 50 AND ml >= CAST(3 AS DOUBLE)
+                           AND ml <= CAST(10 AS DOUBLE)
+                           AND NOT contains(lower(text), 'lorem ipsum')
+                           AND NOT contains(text, '{{')
+                      THEN 1 ELSE 0 END AS kept_i
+          FROM s1),
+        per_host AS (
+          SELECT host,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 CAST(SUM(kept_i) AS BIGINT) AS n_kept,
+                 CAST(SUM(n_words) AS BIGINT) AS sum_words
+          FROM per_row GROUP BY host),
+        total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_docs FROM per_row)
+        SELECT host, n_docs, n_urls, total_chars, {share} AS docs_share,
+               n_kept, {rate} AS kept_rate, {mean_words} AS mean_words
+        FROM per_host CROSS JOIN total
+    """
+
+
 # ---------------------------------------------------------------------------
 # url canonicalization
 # ---------------------------------------------------------------------------

@@ -239,6 +239,39 @@ def events_json_stats_sql() -> str:
     """
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type activity profile (round-4 consolidation of
+    ``events_user_activity`` + ``events_json_stats``): distinct users,
+    event counts, value mass, and the JSON-extracted ``k`` aggregates —
+    ONE hash aggregate where the two source queries each scanned and
+    shuffled separately.  Column semantics are the source queries',
+    verbatim."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+def events_profile_sql() -> str:
+    return """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               round(SUM(value), 2) AS total_value,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """
+
+
 # -- grouping sets / set ops / semi-anti joins / window frames ----------------
 
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,6 +309,27 @@ def test_duplicate_span_stats_scans_documents_once(spark):
     assert _unique_parquet_scans(plan) == 1, plan
 
 
+def test_consolidated_driver_rows_scan_once(spark):
+    """The round-4 fused driver rows must keep the single-scan shape of
+    their source operators: doc_profile (7 per-doc ops, one persisted
+    tokenize), top_tokens (global + per-lang from one persisted freq
+    aggregate), host_profile (stats + quality from one persisted per-row
+    projection), labeled embedding near-dup (pairs + labels + norms from
+    one persisted vector scan)."""
+    from pdf_extractor2_spark.operators import similarity, textstats, webcorpus
+
+    for fn, table in (
+        (textstats.doc_profile, "documents"),
+        (textstats.top_tokens_combined, "documents"),
+        (webcorpus.host_profile, "documents"),
+        (similarity.embedding_near_dup_labeled, "embeddings"),
+    ):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert f"{table}.parquet" in plan, fn.__name__
+        assert _unique_parquet_scans(plan) == 1, (fn.__name__, plan)
+        assert "InMemoryTableScan" in plan, fn.__name__
+
+
 def test_multibranch_webcorpus_queries_scan_documents_once(spark):
     """ADVICE r3: host_stats/lang_confusion/url_normalize/snapshot_diff
     reference a shared subtree from two branches — each must persist it

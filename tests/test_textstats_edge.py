@@ -96,6 +96,87 @@ def test_top_tokens_by_lang_edge_parity(spark, edge_dir):
              textstats.top_tokens_by_lang_sql())
 
 
+def test_doc_profile_edge_parity(spark, edge_dir):
+    from pdf_extractor2_spark.operators import textstats
+
+    _compare(spark, edge_dir,
+             textstats.doc_profile(spark, edge_dir),
+             textstats.doc_profile_sql())
+
+
+def test_top_tokens_combined_edge_parity(spark, edge_dir):
+    from pdf_extractor2_spark.operators import textstats
+
+    _compare(spark, edge_dir,
+             textstats.top_tokens_combined(spark, edge_dir),
+             textstats.top_tokens_combined_sql())
+
+
+def test_doc_profile_matches_individual_ops(spark, edge_dir):
+    """The fused doc_profile is the SAME logic as the seven individual
+    per-doc operators — column-for-column equal on the adversarial edge
+    corpus, so the fused driver row keeps grading the originals."""
+    from pdf_extractor2_spark.operators import textstats
+
+    prof = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.doc_profile(spark, edge_dir).collect()
+    }
+    assert len(prof) == len(EDGE_TEXTS)
+
+    def check(df, mapping):
+        for r in df.collect():
+            p = prof[r["doc_id"]]
+            for op_col, prof_col in mapping.items():
+                assert _norm(r[op_col]) == _norm(p[prof_col]), (
+                    op_col, r["doc_id"], r[op_col], p[prof_col]
+                )
+
+    check(textstats.token_stats(spark, edge_dir),
+          {"n_tokens": "n_tokens", "n_distinct_tokens": "n_distinct_tokens",
+           "n_chars_actual": "n_chars_actual"})
+    check(textstats.quality_scores(spark, edge_dir),
+          {"lang": "lang", "stopword_ratio": "stopword_ratio",
+           "mean_token_len": "mean_token_len",
+           "quality_bucket": "quality_bucket"})
+    check(textstats.fingerprints(spark, edge_dir),
+          {"fingerprint": "fingerprint"})
+    check(textstats.lang_id(spark, edge_dir), {"pred_lang": "pred_lang"})
+    check(textstats.bpe_token_stats(spark, edge_dir),
+          {"n_bpe_tokens": "n_bpe_tokens", "n_ws_tokens": "n_tokens",
+           "bpe_per_word": "bpe_per_word"})
+    check(textstats.quality_gates(spark, edge_dir),
+          {"n_words": "n_tokens", "mean_word_len": "mean_token_len",
+           "has_min_words": "has_min_words", "word_len_ok": "word_len_ok",
+           "no_lorem": "no_lorem", "no_brace": "no_brace", "kept": "kept"})
+    check(textstats.repetition_stats(spark, edge_dir),
+          {"n_tokens": "n_tokens", "n_3grams": "n_3grams",
+           "n_distinct_3grams": "n_distinct_3grams",
+           "dup_3gram_frac": "dup_3gram_frac",
+           "top_token_frac": "top_token_frac"})
+
+
+def test_top_tokens_combined_matches_parts(spark, edge_dir):
+    """The per-lang slice equals top_tokens_by_lang; the global slice
+    (lang='*') carries the same (token, n) set as the standalone global
+    top_tokens."""
+    from pdf_extractor2_spark.operators import textstats
+
+    combined = textstats.top_tokens_combined(spark, edge_dir).collect()
+    by_lang = sorted(
+        tuple(r) for r in textstats.top_tokens_by_lang(spark, edge_dir).collect()
+    )
+    got_lang = sorted(
+        (r["lang"], r["token"], r["n"], r["rank"])
+        for r in combined if r["lang"] != "*"
+    )
+    assert got_lang == by_lang and got_lang
+
+    glob = {(r["token"], r["n"]) for r in textstats.top_tokens(spark, edge_dir).collect()}
+    got_glob = {(r["token"], r["n"]) for r in combined if r["lang"] == "*"}
+    assert got_glob == glob and got_glob
+
+
 def test_duplicate_span_stats_edge_parity(spark, edge_dir):
     from pdf_extractor2_spark.operators import dedup
 

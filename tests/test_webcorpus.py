@@ -272,9 +272,29 @@ def test_webcorpus_random_parity(spark, tmp_path):
         (webcorpus.url_normalize, webcorpus.url_normalize_sql()),
         (webcorpus.lang_confusion, webcorpus.lang_confusion_sql()),
         (webcorpus.host_quality_report, webcorpus.host_quality_report_sql()),
+        (webcorpus.host_profile, webcorpus.host_profile_sql()),
         (webcorpus.benchmark_contamination, webcorpus.benchmark_contamination_sql()),
     ]:
         _parity(fn(spark, str(tmp_path)), con, sql)
+
+
+def test_host_profile_matches_source_queries(spark):
+    """The fused host_profile (round-4 consolidation) carries exactly
+    the columns of host_stats ⊕ host_quality_report, value-for-value."""
+    sf = "/root/testdata/sf0.001"
+    prof = {r["host"]: r.asDict() for r in webcorpus.host_profile(spark, sf).collect()}
+    stats = {r["host"]: r.asDict() for r in webcorpus.host_stats(spark, sf).collect()}
+    qual = {
+        r["host"]: r.asDict()
+        for r in webcorpus.host_quality_report(spark, sf).collect()
+    }
+    assert set(prof) == set(stats) == set(qual) and prof
+    for host, p in prof.items():
+        s, q = stats[host], qual[host]
+        assert (p["n_docs"], p["n_urls"], p["total_chars"], p["docs_share"]) == (
+            s["n_docs"], s["n_urls"], s["total_chars"], s["docs_share"])
+        assert (p["n_docs"], p["n_kept"], p["kept_rate"], p["mean_words"]) == (
+            q["n_docs"], q["n_kept"], q["kept_rate"], q["mean_words"])
 
 
 # ---------------------------------------------------------------------------
