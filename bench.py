@@ -57,10 +57,12 @@ GENERIC_QUERIES = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "simhash",
-    # round-4: the two multi-join heavy queries VERDICT r3 flagged as
-    # never-benched
+    # round-4: every multi-join dedup/ANN query benched (VERDICT r3 #7)
     "dedup_groups",
+    "training_corpus_filter",
     "ann_knn_join",
+    "ann_ivf",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "duplicate_span_stats",
     "token_budget_sample",
