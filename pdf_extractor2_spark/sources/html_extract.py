@@ -46,6 +46,29 @@ _HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 _LINK_DENSITY_MAX = 0.5
 _MIN_BLOCK_CHARS = 3
 
+# one-dict tag dispatch for the handler hot path: the handlers run once
+# per tag event (~170/doc), and chained frozenset membership tests were
+# ~6 lookups per event; a single flag-word lookup with an early return
+# for unflagged tags (div/span — the majority on real pages) replaces
+# them.  Semantics are IDENTICAL to the former chained tests (pinned by
+# test_scanner_equivalence + the live-reference oracle e2e).
+_F_SKIP, _F_BOILER, _F_A, _F_TITLE, _F_TABLE = 1, 2, 4, 8, 16
+_F_TR, _F_CELL, _F_BLOCK, _F_HEADING, _F_BR = 32, 64, 128, 256, 512
+_TAG_FLAGS: dict[str, int] = {}
+for _t in _SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _BOILERPLATE_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BOILER
+for _t in _BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in _HEADING_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_HEADING
+for _t, _f in (("a", _F_A), ("title", _F_TITLE), ("table", _F_TABLE),
+               ("tr", _F_TR), ("td", _F_CELL), ("th", _F_CELL),
+               ("br", _F_BR)):
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _f
+del _t, _f
+
 
 @dataclass
 class _Block:
@@ -97,37 +120,40 @@ class _Extractor(HTMLParser):
     # -- tag events ---------------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _SKIP_TAGS:
-            self._skip_depth += 1
-        if tag in _BOILERPLATE_TAGS:
-            self._boiler_depth += 1
-        elif attrs:
+        flags = _TAG_FLAGS.get(tag, 0)
+        if attrs and not (flags & _F_BOILER):
             role = next((v for k, v in attrs if k == "role" and v), None)
             if role and role.strip().lower() in _BOILERPLATE_ROLES:
                 self._boiler_depth += 1
                 self._role_boiler_open[tag] = self._role_boiler_open.get(tag, 0) + 1
-        if tag == "a":
+        if not flags:
+            return
+        if flags & _F_SKIP:
+            self._skip_depth += 1
+        if flags & _F_BOILER:
+            self._boiler_depth += 1
+        if flags & _F_A:
             self._link_depth += 1
-        if tag == "title":
+        if flags & _F_TITLE:
             self._in_title = True
-        if tag == "table":
+        if flags & _F_TABLE:
             self._table_stack.append([])
-        if tag == "tr" and self._table_stack:
+        if flags & _F_TR and self._table_stack:
             self._row_stack.append([])
-        if tag in ("td", "th") and self._row_stack:
+        if flags & _F_CELL and self._row_stack:
             self._cell_depth += 1
 
-        if tag in _BLOCK_TAGS:
+        if flags & _F_BLOCK:
             self._flush()
-            kind = "heading" if tag in _HEADING_TAGS else (
-                "table_field" if tag in ("td", "th") else "paragraph"
+            kind = "heading" if flags & _F_HEADING else (
+                "table_field" if flags & _F_CELL else "paragraph"
             )
             self._current = _Block(
                 kind=kind,
                 in_boilerplate=self._boiler_depth > 0,
-                in_table=bool(self._table_stack) and tag not in ("caption",),
+                in_table=bool(self._table_stack) and tag != "caption",
             )
-        elif tag == "br" and self._current is not None:
+        elif flags & _F_BR and self._current is not None:
             self._current.text_parts.append("\n")
 
     def handle_endtag(self, tag: str) -> None:
@@ -136,32 +162,37 @@ class _Extractor(HTMLParser):
         # flushing) is keyed on the end-tag event itself, so a matching
         # stack would be dead state (profiled at ~7% of the HTML kernel:
         # an O(depth) membership scan per close tag).
-        if tag in _SKIP_TAGS and self._skip_depth:
-            self._skip_depth -= 1
-        if tag in _BOILERPLATE_TAGS and self._boiler_depth:
-            self._boiler_depth -= 1
-        elif self._role_boiler_open.get(tag, 0) > 0 and self._boiler_depth:
+        flags = _TAG_FLAGS.get(tag, 0)
+        if flags & _F_BOILER:
+            if self._boiler_depth:
+                self._boiler_depth -= 1
+        elif (self._role_boiler_open
+              and self._role_boiler_open.get(tag, 0) > 0 and self._boiler_depth):
             self._role_boiler_open[tag] -= 1
             self._boiler_depth -= 1
-        if tag == "a" and self._link_depth:
+        if not flags:
+            return
+        if flags & _F_SKIP and self._skip_depth:
+            self._skip_depth -= 1
+        if flags & _F_A and self._link_depth:
             self._link_depth -= 1
-        if tag == "title":
+        if flags & _F_TITLE:
             self._in_title = False
 
-        if tag in ("td", "th") and self._cell_depth:
+        if flags & _F_CELL and self._cell_depth:
             self._cell_depth -= 1
             if self._current is not None and self._row_stack:
                 self._row_stack[-1].append(self._current.text())
-        if tag == "tr" and self._row_stack:
+        if flags & _F_TR and self._row_stack:
             row = self._row_stack.pop()
             if self._table_stack:
                 self._table_stack[-1].append(row)
-        if tag == "table" and self._table_stack:
+        if flags & _F_TABLE and self._table_stack:
             rows = self._table_stack.pop()
             if rows:
                 self.tables.append(normalize_grid(rows))
 
-        if tag in _BLOCK_TAGS:
+        if flags & _F_BLOCK:
             self._flush()
 
     def handle_data(self, data: str) -> None:
@@ -204,7 +235,10 @@ def _scan(html: str, h: "_Extractor") -> None:
     entities, comments, doctypes, raw-text elements). Equivalence with
     the stdlib path is pinned by tests/test_html.py::test_scanner_equivalence.
     """
-    lower = html.lower()
+    # the lowercased copy is only needed to find a raw-text element's
+    # close tag (script/style/...); computing it lazily saves a full
+    # O(n) pass + allocation on every script-free document
+    lower: str | None = None
     i, n = 0, len(html)
     find = html.find
     while i < n:
@@ -245,6 +279,8 @@ def _scan(html: str, h: "_Extractor") -> None:
                     attrs = [("role", m_role.group(1))]
             h.handle_starttag(name, attrs)
             if name in _RAW_TEXT_TAGS and not inner.endswith("/"):
+                if lower is None:
+                    lower = html.lower()
                 close = lower.find("</" + name, i)
                 if close < 0:
                     break
