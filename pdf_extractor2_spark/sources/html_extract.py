@@ -201,7 +201,7 @@ class _Extractor(HTMLParser):
         if self._in_title:
             self.title_parts.append(data)
             return
-        if not data.strip():
+        if not data or data.isspace():  # == `not data.strip()`, no copy
             return
         if self._current is None:
             # bare text outside any block element: treat as a paragraph
@@ -244,11 +244,17 @@ def _scan(html: str, h: "_Extractor") -> None:
     while i < n:
         lt = find("<", i)
         if lt < 0:
-            h.handle_data(unescape(html[i:]) if "&" in html[i:] else html[i:])
+            chunk = html[i:]
+            # whitespace-only chunks are dropped by every handler path
+            # (handle_data's blank check; title collapse) — skipping the
+            # call is observationally identical and avoids the dispatch
+            if not chunk.isspace():
+                h.handle_data(unescape(chunk) if "&" in chunk else chunk)
             break
         if lt > i:
             chunk = html[i:lt]
-            h.handle_data(unescape(chunk) if "&" in chunk else chunk)
+            if not chunk.isspace():
+                h.handle_data(unescape(chunk) if "&" in chunk else chunk)
         if html.startswith("<!--", lt):
             end = find("-->", lt + 4)
             i = end + 3 if end >= 0 else n
@@ -273,7 +279,11 @@ def _scan(html: str, h: "_Extractor") -> None:
             h.handle_endtag(name)
         else:
             attrs = []
-            if "role" in inner or "ROLE" in inner or "Role" in inner:
+            # m.end() == len(inner) ⇔ the tag carries no attribute text
+            # at all — skip the three role-substring scans entirely
+            if m.end() < len(inner) and (
+                "role" in inner or "ROLE" in inner or "Role" in inner
+            ):
                 m_role = _ROLE_ATTR_RE.search(inner)
                 if m_role:
                     attrs = [("role", m_role.group(1))]
