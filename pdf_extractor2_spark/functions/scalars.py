@@ -134,6 +134,13 @@ _ROLE_DEFAULT_PROJECT_KWS = ("leader", "leder", "manager", "chef", "head")
 # single-pass alternations: `any(x in s for x in XS)` ≡ one regex search
 _NAME_BLACKLIST_RE = re.compile("|".join(map(re.escape, _NAME_BLACKLIST)))
 _ROLE_INDICATORS_RE = re.compile("|".join(map(re.escape, _ROLE_INDICATORS)))
+_ROLE_UNINTERESTING_RE = re.compile("|".join(map(re.escape, _ROLE_UNINTERESTING)))
+_ROLE_PROJECT_PREFIX_SUB_RE = re.compile(
+    "|".join(map(re.escape, _ROLE_PROJECT_PREFIXES))
+)
+_ROLE_DEFAULT_PROJECT_RE = re.compile(
+    "|".join(map(re.escape, _ROLE_DEFAULT_PROJECT_KWS))
+)
 
 _DANISH_PROJECT_ROLE_PATTERNS = (
     re.compile(r"Projektleder[^.\n]*"),
@@ -364,9 +371,8 @@ def extract_stage(text: str | None) -> str | None:
 def _segment_is_role(segment_lower: str, segment: str) -> bool:
     if segment_lower in _ROLE_PROJECT_PREFIXES or segment_lower == _ROLE_HANDLED_PREFIX:
         return False
-    for unint in _ROLE_UNINTERESTING:
-        if unint in segment_lower:
-            return False
+    if _ROLE_UNINTERESTING_RE.search(segment_lower):
+        return False
     if not (3 < len(segment) < 100):
         return False
     return _ROLE_INDICATORS_RE.search(segment_lower) is not None
@@ -400,7 +406,8 @@ def extract_roles_from_text(text: str | None) -> dict[str, list[str]]:
             continue
 
         line_lower = line.lower()
-        line_is_project = any(line_lower.startswith(p) for p in _ROLE_PROJECT_PREFIXES)
+        # str.startswith on the prefix TUPLE: one C-level call
+        line_is_project = line_lower.startswith(_ROLE_PROJECT_PREFIXES)
         line_is_handled = line_lower.startswith(_ROLE_HANDLED_PREFIX)
 
         segments = [seg.strip() for seg in line.split(".") if seg.strip()]
@@ -414,9 +421,9 @@ def extract_roles_from_text(text: str | None) -> dict[str, list[str]]:
 
             if i > 0:
                 prev = segments[i - 1].lower().strip()
-                if prev in _ROLE_PROJECT_PREFIXES or any(
-                    p in prev for p in _ROLE_PROJECT_PREFIXES
-                ):
+                # substring alternation subsumes the exact-membership
+                # check (p == prev ⇒ p in prev) — one regex search
+                if _ROLE_PROJECT_PREFIX_SUB_RE.search(prev):
                     if role and role not in project_roles:
                         project_roles.append(role)
                     continue
@@ -431,7 +438,7 @@ def extract_roles_from_text(text: str | None) -> dict[str, list[str]]:
             elif line_is_handled:
                 if role and role not in handled_roles:
                     handled_roles.append(role)
-            elif any(kw in segment_lower for kw in _ROLE_DEFAULT_PROJECT_KWS):
+            elif _ROLE_DEFAULT_PROJECT_RE.search(segment_lower):
                 if role and role not in project_roles:
                     project_roles.append(role)
             else:
