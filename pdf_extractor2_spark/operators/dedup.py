@@ -307,7 +307,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 50, pointer_jumping: bool = False) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
     document in a component gets ``group_id`` = the component's minimum
     doc_id — the canonical "keep one representative per duplicate
@@ -317,15 +317,25 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     Iterative min-label propagation: label(v) ← min(label(v), min label
     over neighbors) until fixpoint.  Each sweep is one join + one hash
     aggregate; propagation converges in O(diameter) sweeps (labels move
-    one hop per sweep — pointer-jumping/large-star would give O(log d),
-    at the cost of mutating the edge set each round), and near-dup
-    components are tiny (bounded by the shingle df cap upstream), so
-    2-4 sweeps suffice in practice.  If a pathological chain exceeds
-    ``max_iters`` the loop RAISES rather than silently returning
-    unconverged labels (the DuckDB oracle computes the exact fixpoint —
-    a partial result would be a wrong answer, not a slow one).  The only
-    driver-side value per sweep is the changed-row count — the same
-    shape GraphX/GraphFrames use for Pregel supersteps."""
+    one hop per sweep), and near-dup components are tiny (bounded by
+    the shingle df cap upstream), so 2-4 sweeps suffice in practice.
+    If a pathological chain exceeds ``max_iters`` the loop RAISES
+    rather than silently returning unconverged labels (the DuckDB
+    oracle computes the exact fixpoint — a partial result would be a
+    wrong answer, not a slow one).  The only driver-side value per
+    sweep is the changed-row count — the same shape GraphX/GraphFrames
+    use for Pregel supersteps.
+
+    ``pointer_jumping=True`` adds a shortcut step after each
+    propagation sweep: label(v) ← label(label(v)) (valid because the
+    invariant label(u) ≤ u holds throughout, so shortcutting is
+    monotone toward the same fixpoint).  Reach doubles per sweep —
+    O(log diameter) sweeps instead of O(diameter) — which is the scale
+    variant for a corpus whose duplicate graph contains a long chain
+    (template pages each near-dup of the next revision).  Pinned by
+    tests/test_dedup_cap.py: on a 40-node chain the default raises at
+    max_iters=8 while pointer jumping converges, with identical labels
+    to the default's fixpoint on real data."""
     pairs = jaccard_pairs(spark, sf_dir, threshold)
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
@@ -344,20 +354,39 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                 edges.join(labels, edges.d == labels.doc_id)
                 .groupBy("s").agg(F.min("label").alias("nbr_min"))
             )
-            new_labels = (
-                labels.join(nbr, labels.doc_id == nbr.s, "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-                )
-                .persist()
+            prop = labels.join(nbr, labels.doc_id == nbr.s, "left").select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
+            inter = None
+            if pointer_jumping:
+                # shortcut: label(v) ← label(label(v)); the propagated
+                # table feeds both sides of the self-join, so persist it
+                inter = prop.persist()
+                a, b = inter.alias("a"), inter.alias("b")
+                prop = a.join(
+                    b, F.col("a.label") == F.col("b.doc_id"), "left"
+                ).select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
+                )
+            # localCheckpoint (not persist): each sweep's plan references
+            # the previous sweep's — and pointer jumping references it
+            # TWICE — so without lineage truncation the logical tree
+            # grows exponentially with sweep count (the driver OOMs just
+            # rendering it).  Truncating per sweep is the standard
+            # iterative-graph discipline (GraphX/Pregel do the same);
+            # the checkpointed partitions live on executors, never the
+            # driver.
+            new_labels = prop.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .where(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            if inter is not None:
+                inter.unpersist()
             labels.unpersist()
             labels = new_labels
             if changed == 0:

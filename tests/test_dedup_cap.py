@@ -154,3 +154,65 @@ def test_jaccard_candidates_come_from_posting_lists_not_self_join(spark, hot_dir
     # the pair explosion is in the plan (formatted mode separates the
     # Generate node header from its explode argument)
     assert re.search(r"^\(\d+\) Generate", plan, re.M) and "explode" in plan
+
+
+# ---------------------------------------------------------------------------
+# round 4: pointer-jumping connected components (the high-diameter path)
+# ---------------------------------------------------------------------------
+
+CHAIN_N = 40
+
+
+@pytest.fixture(scope="module")
+def path_chain_dir(tmp_path_factory):
+    """documents.parquet whose near-dup graph (at threshold 0.1) is one
+    40-node PATH: doc i = c_i c_i c_i c_{i+1} c_{i+1} c_{i+1}, so
+    consecutive docs share exactly the (c_{i+1})³ shingle (jaccard 1/7
+    ≈ 0.142857) and non-consecutive docs share nothing."""
+    d = tmp_path_factory.mktemp("chaindocs")
+    rows = [
+        (i, " ".join([f"c{i}"] * 3 + [f"c{i + 1}"] * 3)) for i in range(CHAIN_N)
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_chain_is_a_path(spark, path_chain_dir):
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(spark, path_chain_dir, threshold=0.1).collect()
+    )
+    assert pairs == [(i, i + 1) for i in range(CHAIN_N - 1)]
+
+
+def test_pointer_jumping_converges_where_default_cannot(spark, path_chain_dir):
+    """On a diameter-39 component, min-label propagation moves the
+    minimum ONE hop per sweep — at max_iters=8 it must raise.  Pointer
+    jumping doubles reach per sweep (2^k - 1 hops after k sweeps), so
+    the same budget converges, and to the correct single component."""
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        dedup.dedup_groups(spark, path_chain_dir, threshold=0.1, max_iters=8)
+
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.dedup_groups(
+            spark, path_chain_dir, threshold=0.1, max_iters=8, pointer_jumping=True
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(CHAIN_N)}
+
+
+def test_pointer_jumping_matches_default_on_real_data(spark):
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        tuple(r) for r in dedup.dedup_groups(spark, sf).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.dedup_groups(spark, sf, pointer_jumping=True).collect()
+    )
+    assert a == b and a
