@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from bisect import bisect_right
 from dataclasses import dataclass, field
 
 Grid = list[list[str]]
@@ -613,13 +614,18 @@ def stream_tables(runs: list[TextRun], row_tol: float, col_tol: float) -> list[G
         if len(region) >= 2:
             xs = [r.x for line in region for r in line]
             cols = _cluster_positions(xs, col_tol)
+            # rightmost column with r.x >= cx - col_tol, as a bisect over
+            # the precomputed thresholds: cols is ascending, x ↦ x - tol
+            # is monotone, and the comparison floats are the IDENTICAL
+            # `cx - col_tol` values the former max-genexpr computed — so
+            # this is bit-equivalent, not merely "close" (the per-run
+            # linear scan was the hottest line of the stream profile)
+            thresholds = [cx - col_tol for cx in cols]
             grid: Grid = []
             for line in region:
                 row = [""] * len(cols)
                 for r in line:
-                    ci = max(
-                        i for i, cx in enumerate(cols) if r.x >= cx - col_tol
-                    )
+                    ci = bisect_right(thresholds, r.x) - 1
                     row[ci] = (row[ci] + "\n" + r.text) if row[ci] else r.text
                 grid.append(row)
             tables.append(grid)
