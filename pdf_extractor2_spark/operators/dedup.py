@@ -306,6 +306,33 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _tracked_local_checkpoint(spark: SparkSession, df: DataFrame):
+    """localCheckpoint(eager) + the storage ids it created, so the
+    caller can free the blocks DETERMINISTICALLY once the table is
+    provably never read again.  ``DataFrame.unpersist()`` is a no-op on
+    a checkpointed frame (its RDD lives outside the CacheManager), and
+    waiting for driver GC lets up to ``max_iters`` label snapshots sit
+    co-resident in executor storage.  NOTE: unpersisting a local
+    checkpoint DESTROYS it (reads then fail with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — verified) — only free a sweep
+    after its successor is materialized and the changed-count consumed."""
+    before = _persistent_rdd_ids(spark)
+    ck = df.localCheckpoint(eager=True)
+    return ck, _persistent_rdd_ids(spark) - before
+
+
+def _free_checkpoint(spark: SparkSession, ids: set[int]) -> None:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in ids:
+        r = m.get(k)
+        if r is not None:
+            r.unpersist(False)
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                  max_iters: int = 50, pointer_jumping: bool = False) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
@@ -347,6 +374,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    labels_ck_ids: set[int] = set()  # empty: initial labels are persisted
     try:
         converged = False
         for _ in range(max_iters):
@@ -377,8 +405,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             # rendering it).  Truncating per sweep is the standard
             # iterative-graph discipline (GraphX/Pregel do the same);
             # the checkpointed partitions live on executors, never the
-            # driver.
-            new_labels = prop.localCheckpoint(eager=True)
+            # driver, and each sweep's blocks are freed explicitly once
+            # the next sweep is materialized (see _tracked_local_checkpoint).
+            new_labels, new_ids = _tracked_local_checkpoint(spark, prop)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -387,8 +416,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             )
             if inter is not None:
                 inter.unpersist()
+            # old labels: last read by the count above — free now
             labels.unpersist()
-            labels = new_labels
+            _free_checkpoint(spark, labels_ck_ids)
+            labels, labels_ck_ids = new_labels, new_ids
             if changed == 0:
                 converged = True
                 break
@@ -402,6 +433,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
         # executors and truncates the per-sweep join lineage — the
         # distributed equivalent of "collect and rebuild", valid at any
         # label-table size; the loop caches can then be released
+        # (the eager checkpoint runs BEFORE the finally block frees the
+        # last sweep's blocks, so the returned frame is self-contained)
         return (
             labels.select("doc_id", F.col("label").alias("group_id"))
             .localCheckpoint(eager=True)
@@ -409,6 +442,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     finally:
         edges.unpersist()
         labels.unpersist()
+        _free_checkpoint(spark, labels_ck_ids)
 
 
 def dedup_groups_sql(table: str = "documents", threshold: float = 0.5,

@@ -18,17 +18,80 @@ MOD = 1_000_000_007
 P56 = 72_057_594_037_927_931  # shared 56-bit fold modulus (operators/dedup.py)
 KMV_K = 256
 
+# ---------------------------------------------------------------------------
+# shared per-row expression fragments — SINGLE source for the standalone
+# operators AND the fused profiles (doc_profile here, host_profile in
+# webcorpus.py), so tuning a threshold can never desynchronize a fused
+# row from its source operator.  Spark fragments read columns
+# (text, toks, ml); DuckDB fragments read (text, t, ml).
+# ---------------------------------------------------------------------------
+
+# mean token length: the O(tokens) fold — project ONCE as `ml`, then
+# reference the projection (inlining re-runs the fold per use in codegen)
+ML_EXPR = (
+    "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
+    " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
+)
+ML_SQL = "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)"
+
+# the C4 kept-gate conjunction (quality_gates/doc_profile/host_profile)
+KEPT_EXPR = (
+    "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
+    " AND ml <= CAST(10 AS DOUBLE)"
+    " AND NOT contains(lower(text), 'lorem ipsum')"
+    " AND NOT contains(text, '{')"
+)
+KEPT_SQL = (
+    "len(t) >= 50 AND ml >= CAST(3 AS DOUBLE)"
+    " AND ml <= CAST(10 AS DOUBLE)"
+    " AND NOT contains(lower(text), 'lorem ipsum')"
+    " AND NOT contains(text, '{')"
+)
+
+# distinct-3-gram count (repetition_stats/doc_profile)
+D3_EXPR = (
+    "case when size(toks) < 3 then 0 else size(array_distinct("
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ',"
+    " element_at(toks, i + 1), element_at(toks, i + 2),"
+    " element_at(toks, i + 3))))) end"
+)
+D3_SQL = (
+    "CASE WHEN len(t) < 3 THEN 0 ELSE"
+    " len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    " for i in generate_series(1, len(t) - 2)])) END"
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts (whitespace tokenization)."""
+def _docs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text coalesced to '' and tokens projected — the
+    NULL-safe base every per-doc operator builds on (non-ANSI sessions
+    return -1 from size(split(NULL)) while DuckDB len(NULL) is NULL;
+    coalescing in BOTH engine texts makes parity ANSI-flag-independent,
+    per round-3 ADVICE)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.expr("cast(size(split(text, ' ')) as long)").alias("n_tokens"),
-        F.expr("cast(size(array_distinct(split(text, ' '))) as long)").alias(
+        "lang",
+        F.expr("coalesce(text, '')").alias("text"),
+        F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
+    )
+
+
+_BASE_SQL = (
+    "SELECT doc_id, lang, coalesce(text, '') AS text,"
+    " string_split(coalesce(text, ''), ' ') AS t FROM {table}"
+)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace tokenization)."""
+    return _docs_nn(spark, sf_dir).select(
+        "doc_id",
+        F.expr("cast(size(toks) as long)").alias("n_tokens"),
+        F.expr("cast(size(array_distinct(toks)) as long)").alias(
             "n_distinct_tokens"
         ),
         F.expr("cast(length(text) as long)").alias("n_chars_actual"),
@@ -40,28 +103,29 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-per-token density (length/punct/stopword family, SURVEY scope).
     Ratios use the shared half-up idiom (a ratio of small integers can
     land exactly on x.xxxxxx5)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.expr(_f6(
-            "cast(size(filter(split(text, ' '), t -> t in ('the', 'a'))) as double)"
-            " / size(split(text, ' '))"
-        )).alias("stopword_ratio"),
-        F.expr(_f6(
-            "cast(aggregate(transform(split(text, ' '), t -> length(t)),"
-            " 0L, (acc, x) -> acc + x) as double) / size(split(text, ' '))"
-        )).alias("mean_token_len"),
-        F.expr(
-            "case when length(text) >= 200 and size(split(text, ' ')) >= 40"
-            " then 'keep' else 'drop' end"
-        ).alias("quality_bucket"),
+    return (
+        _docs_nn(spark, sf_dir)
+        .withColumn("ml", F.expr(ML_EXPR))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_f6(
+                "cast(size(filter(toks, t -> t in ('the', 'a'))) as double)"
+                " / size(toks)"
+            )).alias("stopword_ratio"),
+            F.expr(_f6("ml")).alias("mean_token_len"),
+            F.expr(
+                "case when length(text) >= 200 and size(toks) >= 40"
+                " then 'keep' else 'drop' end"
+            ).alias("quality_bucket"),
+        )
     )
 
 
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rolling-hash document fingerprint:
     fold (acc*31 + ascii(char)) mod 1e9+7 over the full text."""
-    return _docs(spark, sf_dir).select(
+    return _docs_nn(spark, sf_dir).select(
         "doc_id",
         F.expr(
             f"aggregate(transform(split(text, ''), c -> ascii(c)),"
@@ -73,12 +137,12 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language heuristic: score English function words
     vs corpus-neutral tokens; emits predicted vs labelled language."""
-    return _docs(spark, sf_dir).select(
+    return _docs_nn(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.expr(
-            "case when size(filter(split(text, ' '), t -> t in ('the', 'a', 'of')))"
-            " * 10 >= size(split(text, ' ')) then 'en' else 'und' end"
+            "case when size(filter(toks, t -> t in ('the', 'a', 'of')))"
+            " * 10 >= size(toks) then 'en' else 'und' end"
         ).alias("pred_lang"),
     )
 
@@ -90,30 +154,34 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer family,
     conservative char classes shared by Java regex and RE2): counts per
     document plus the whitespace/bpe ratio."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr(
-            f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
-        ).alias("n_bpe_tokens"),
-        F.expr("cast(size(split(text, ' ')) as long)").alias("n_ws_tokens"),
-        F.expr(_f6(
-            f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as double)"
-            " / size(split(text, ' '))"
-        )).alias("bpe_per_word"),
+    return (
+        _docs_nn(spark, sf_dir)
+        .withColumn(
+            "nbpe",
+            F.expr(
+                f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("nbpe").alias("n_bpe_tokens"),
+            F.expr("cast(size(toks) as long)").alias("n_ws_tokens"),
+            F.expr(_f6("CAST(nbpe AS DOUBLE) / size(toks)")).alias("bpe_per_word"),
+        )
     )
 
 
 def bpe_token_stats_sql(table: str = "documents") -> str:
     bpw = _f6(
         f"CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)"
-        " / len(string_split(text, ' '))"
+        " / len(t)"
     )
     return f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(t) AS BIGINT) AS n_ws_tokens,
                {bpw} AS bpe_per_word
-        FROM {table}
+        FROM ({_BASE_SQL.format(table=table)})
     """
 
 
@@ -134,31 +202,26 @@ def top_tokens(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
 def token_stats_sql(table: str = "documents") -> str:
     return f"""
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
                CAST(length(text) AS BIGINT) AS n_chars_actual
-        FROM {table}
+        FROM ({_BASE_SQL.format(table=table)})
     """
 
 
 def quality_scores_sql(table: str = "documents") -> str:
     sw = _f6(
-        "CAST(len(list_filter(string_split(text, ' '),"
-        " t -> t IN ('the', 'a'))) AS DOUBLE)"
-        " / len(string_split(text, ' '))"
-    )
-    mtl = _f6(
-        "CAST(list_sum(list_transform(string_split(text, ' '),"
-        " t -> length(t))) AS DOUBLE)"
-        " / len(string_split(text, ' '))"
+        "CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)"
     )
     return f"""
+        WITH s1 AS (SELECT *, {ML_SQL} AS ml
+                    FROM ({_BASE_SQL.format(table=table)}))
         SELECT doc_id, lang,
                {sw} AS stopword_ratio,
-               {mtl} AS mean_token_len,
-               CASE WHEN length(text) >= 200 AND len(string_split(text, ' ')) >= 40
+               {_f6("ml")} AS mean_token_len,
+               CASE WHEN length(text) >= 200 AND len(t) >= 40
                     THEN 'keep' ELSE 'drop' END AS quality_bucket
-        FROM {table}
+        FROM s1
     """
 
 
@@ -170,18 +233,17 @@ def fingerprints_sql(table: str = "documents") -> str:
                    [CAST(ascii(substr(text, i, 1)) AS BIGINT)
                     for i in generate_series(1, length(text))]),
                  (acc, c) -> (acc * 31 + c) % {MOD}) AS fingerprint
-        FROM {table}
+        FROM ({_BASE_SQL.format(table=table)})
     """
 
 
 def lang_id_sql(table: str = "documents") -> str:
     return f"""
         SELECT doc_id, lang,
-               CASE WHEN len(list_filter(string_split(text, ' '),
-                                         t -> t IN ('the', 'a', 'of'))) * 10
-                         >= len(string_split(text, ' '))
+               CASE WHEN len(list_filter(t, x -> x IN ('the', 'a', 'of'))) * 10
+                         >= len(t)
                     THEN 'en' ELSE 'und' END AS pred_lang
-        FROM {table}
+        FROM ({_BASE_SQL.format(table=table)})
     """
 
 
@@ -275,20 +337,12 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _scoped_clear, _scoped_persist
 
     _scoped_clear()
-    d = _scoped_persist(
-        _docs(spark, sf_dir).select("doc_id", F.expr("split(text, ' ')").alias("toks"))
-    )
+    d = _scoped_persist(_docs_nn(spark, sf_dir).select("doc_id", "toks"))
     n3 = "greatest(size(toks) - 2, 0)"
-    d3 = (
-        "case when size(toks) < 3 then 0 else size(array_distinct("
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ',"
-        " element_at(toks, i + 1), element_at(toks, i + 2),"
-        " element_at(toks, i + 3))))) end"
-    )
     grams = d.select(
         "doc_id",
         F.expr(f"cast({n3} as long)").alias("n_3grams"),
-        F.expr(f"cast({d3} as long)").alias("n_distinct_3grams"),
+        F.expr(f"cast({D3_EXPR} as long)").alias("n_distinct_3grams"),
     )
     per_doc = (
         d.select("doc_id", F.explode("toks").alias("tk"))
@@ -320,13 +374,10 @@ def repetition_stats_sql(table: str = "documents") -> str:
     dup_frac = _f6("CAST(1 AS DOUBLE) - CAST(n_distinct_3grams AS DOUBLE) / n_3grams")
     top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
     return f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+        WITH toks AS (SELECT doc_id, t FROM ({_BASE_SQL.format(table=table)})),
         grams AS (SELECT doc_id,
                          CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_3grams,
-                         CAST(CASE WHEN len(t) < 3 THEN 0 ELSE
-                           len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                              for i in generate_series(1, len(t) - 2)]))
-                         END AS BIGINT) AS n_distinct_3grams
+                         CAST({D3_SQL} AS BIGINT) AS n_distinct_3grams
                   FROM toks),
         tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
         cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
@@ -358,18 +409,7 @@ def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SQL): on a non-ANSI session ``size(split(NULL))`` returns -1
     (spark.sql.legacy.sizeOfNull) while DuckDB's ``len(NULL)`` is NULL —
     the guard makes parity independent of the session's ANSI flag."""
-    mean_len = (
-        "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
-        " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
-    )
-    d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang", F.expr("coalesce(text, '')").alias("text"))
-        .select("doc_id", "lang", "text", F.expr("split(text, ' ')").alias("toks"))
-        .select(
-            "doc_id", "lang", "text", "toks", F.expr(mean_len).alias("ml")
-        )
-    )
+    d = _docs_nn(spark, sf_dir).withColumn("ml", F.expr(ML_EXPR))
     return d.select(
         "doc_id",
         "lang",
@@ -381,36 +421,24 @@ def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word_len_ok"),
         F.expr("NOT contains(lower(text), 'lorem ipsum')").alias("no_lorem"),
         F.expr("NOT contains(text, '{')").alias("no_brace"),
-        F.expr(
-            "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
-            " AND ml <= CAST(10 AS DOUBLE)"
-            " AND NOT contains(lower(text), 'lorem ipsum')"
-            " AND NOT contains(text, '{')"
-        ).alias("kept"),
+        F.expr(KEPT_EXPR).alias("kept"),
     )
 
 
 def quality_gates_sql(table: str = "documents") -> str:
-    mean_len = (
-        "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)"
-    )
     return f"""
-        WITH toks AS (SELECT doc_id, lang, coalesce(text, '') AS text,
-                             string_split(coalesce(text, ''), ' ') AS t
-                      FROM {table})
+        WITH s1 AS (SELECT *, {ML_SQL} AS ml
+                    FROM ({_BASE_SQL.format(table=table)}))
         SELECT doc_id, lang,
                CAST(len(t) AS BIGINT) AS n_words,
-               {_f6(mean_len)} AS mean_word_len,
+               {_f6("ml")} AS mean_word_len,
                len(t) >= 50 AS has_min_words,
-               ({mean_len}) >= CAST(3 AS DOUBLE)
-                 AND ({mean_len}) <= CAST(10 AS DOUBLE) AS word_len_ok,
+               ml >= CAST(3 AS DOUBLE)
+                 AND ml <= CAST(10 AS DOUBLE) AS word_len_ok,
                NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
                NOT contains(text, '{{') AS no_brace,
-               len(t) >= 50 AND ({mean_len}) >= CAST(3 AS DOUBLE)
-                 AND ({mean_len}) <= CAST(10 AS DOUBLE)
-                 AND NOT contains(lower(text), 'lorem ipsum')
-                 AND NOT contains(text, '{{') AS kept
-        FROM toks
+               {KEPT_SQL} AS kept
+        FROM s1
     """
 
 
@@ -478,30 +506,14 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _scoped_clear, _scoped_persist
 
     _scoped_clear()
-    base = _scoped_persist(
-        _docs(spark, sf_dir).select(
-            "doc_id",
-            "lang",
-            F.expr("coalesce(text, '')").alias("text"),
-            F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
-        )
-    )
+    base = _scoped_persist(_docs_nn(spark, sf_dir))
     # expensive folds projected once, referenced by several columns
     stage1 = base.select(
         "doc_id", "lang", "text", "toks",
-        F.expr(
-            "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
-            " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
-        ).alias("ml"),
+        F.expr(ML_EXPR).alias("ml"),
         F.expr(
             f"cast(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) as long)"
         ).alias("nbpe"),
-    )
-    d3 = (
-        "case when size(toks) < 3 then 0 else size(array_distinct("
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ',"
-        " element_at(toks, i + 1), element_at(toks, i + 2),"
-        " element_at(toks, i + 3))))) end"
     )
     per_row = stage1.select(
         "doc_id",
@@ -536,14 +548,9 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word_len_ok"),
         F.expr("NOT contains(lower(text), 'lorem ipsum')").alias("no_lorem"),
         F.expr("NOT contains(text, '{')").alias("no_brace"),
-        F.expr(
-            "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
-            " AND ml <= CAST(10 AS DOUBLE)"
-            " AND NOT contains(lower(text), 'lorem ipsum')"
-            " AND NOT contains(text, '{')"
-        ).alias("kept"),
+        F.expr(KEPT_EXPR).alias("kept"),
         F.expr("cast(greatest(size(toks) - 2, 0) as long)").alias("n_3grams"),
-        F.expr(f"cast({d3} as long)").alias("n_distinct_3grams"),
+        F.expr(f"cast({D3_EXPR} as long)").alias("n_distinct_3grams"),
     )
     top = (
         base.select("doc_id", F.explode("toks").alias("tk"))
@@ -575,14 +582,10 @@ def doc_profile_sql(table: str = "documents") -> str:
     )
     top_frac = _f6("CAST(top_c AS DOUBLE) / n_tokens")
     return f"""
-        WITH base AS (
-          SELECT doc_id, lang, coalesce(text, '') AS text,
-                 string_split(coalesce(text, ''), ' ') AS t
-          FROM {table}),
+        WITH base AS ({_BASE_SQL.format(table=table)}),
         s1 AS (
           SELECT doc_id, lang, text, t,
-                 CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                   / len(t) AS ml,
+                 {ML_SQL} AS ml,
                  CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
                    AS nbpe
           FROM base),
@@ -610,15 +613,9 @@ def doc_profile_sql(table: str = "documents") -> str:
                    AS word_len_ok,
                  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
                  NOT contains(text, '{{') AS no_brace,
-                 len(t) >= 50 AND ml >= CAST(3 AS DOUBLE)
-                   AND ml <= CAST(10 AS DOUBLE)
-                   AND NOT contains(lower(text), 'lorem ipsum')
-                   AND NOT contains(text, '{{') AS kept,
+                 {KEPT_SQL} AS kept,
                  CAST(GREATEST(len(t) - 2, 0) AS BIGINT) AS n_3grams,
-                 CAST(CASE WHEN len(t) < 3 THEN 0 ELSE
-                   len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                      for i in generate_series(1, len(t) - 2)]))
-                 END AS BIGINT) AS n_distinct_3grams
+                 CAST({D3_SQL} AS BIGINT) AS n_distinct_3grams
           FROM s1),
         tok AS (SELECT doc_id, unnest(t) AS tk FROM base),
         cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),

@@ -381,17 +381,11 @@ def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Strictly cheaper than running the two source queries separately
     (they each re-scanned and re-tokenized); pinned single-FileScan in
     tests/test_plans.py.  Per-column semantics are the source queries',
-    verbatim — pinned equal by tests/test_webcorpus.py."""
-    ml = (
-        "CAST(aggregate(transform(toks, t -> length(t)), 0L,"
-        " (acc, x) -> acc + x) AS DOUBLE) / size(toks)"
-    )
-    kept = (
-        "size(toks) >= 50 AND ml >= CAST(3 AS DOUBLE)"
-        " AND ml <= CAST(10 AS DOUBLE)"
-        " AND NOT contains(lower(text), 'lorem ipsum')"
-        " AND NOT contains(text, '{')"
-    )
+    verbatim — the gate and mean-length fragments are the SAME module
+    constants quality_gates/doc_profile build from (textstats.KEPT_EXPR
+    / ML_EXPR), and equality is pinned by tests/test_webcorpus.py."""
+    from .textstats import KEPT_EXPR, ML_EXPR
+
     _scoped_clear()
     rows = _scoped_persist(
         _docs(spark, sf_dir)
@@ -402,11 +396,11 @@ def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("coalesce(text, '')").alias("text"),
             F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
         )
-        .withColumn("ml", F.expr(ml))
+        .withColumn("ml", F.expr(ML_EXPR))
         .select(
             "host", "url", "n_chars",
             F.expr("cast(size(toks) as long)").alias("n_words"),
-            F.expr(f"case when {kept} then 1 else 0 end").alias("kept_i"),
+            F.expr(f"case when {KEPT_EXPR} then 1 else 0 end").alias("kept_i"),
         )
     )
     per_host = rows.groupBy("host").agg(
@@ -433,6 +427,8 @@ def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def host_profile_sql(table: str = "documents") -> str:
+    from .textstats import KEPT_SQL, ML_SQL
+
     share = round_half_up_expr("CAST(n_docs AS DOUBLE) / corpus_docs", 6)
     rate = round_half_up_expr("CAST(n_kept AS DOUBLE) / n_docs", 6)
     mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
@@ -444,16 +440,12 @@ def host_profile_sql(table: str = "documents") -> str:
           FROM {table}),
         s1 AS (
           SELECT host, url, n_chars, text, t,
-                 CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-                   / len(t) AS ml
+                 {ML_SQL} AS ml
           FROM base),
         per_row AS (
           SELECT host, url, n_chars,
                  CAST(len(t) AS BIGINT) AS n_words,
-                 CASE WHEN len(t) >= 50 AND ml >= CAST(3 AS DOUBLE)
-                           AND ml <= CAST(10 AS DOUBLE)
-                           AND NOT contains(lower(text), 'lorem ipsum')
-                           AND NOT contains(text, '{{')
+                 CASE WHEN {KEPT_SQL}
                       THEN 1 ELSE 0 END AS kept_i
           FROM s1),
         per_host AS (

@@ -12,6 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.dedup import round_half_up_expr
+
+
+def _r2(x: str) -> str:
+    """Cross-engine round-half-up to 2 decimals — every rounded-double
+    column in this module builds on the shared idiom (round-4 sweep): a
+    sum of many doubles CAN land exactly on x.xx5, where Spark's
+    round() and DuckDB's diverge (CLAUDE.md's 52724.2449…95 example is
+    a 2-decimal revenue sum)."""
+    return round_half_up_expr(x, 2)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -25,24 +36,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.expr(_r2("SUM(l_quantity)")).alias("sum_qty"),
+            F.expr(_r2("SUM(l_extendedprice)")).alias("sum_base_price"),
+            F.expr(_r2("SUM(l_extendedprice * (1 - l_discount))")).alias(
+                "sum_disc_price"
+            ),
+            F.expr(round_half_up_expr("AVG(l_discount)", 6)).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
 def pricing_summary_sql() -> str:
-    return """
+    return f"""
         SELECT l_returnflag, l_linestatus,
-               round(SUM(l_quantity), 2) AS sum_qty,
-               round(SUM(l_extendedprice), 2) AS sum_base_price,
-               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(AVG(l_discount), 6) AS avg_disc,
+               {_r2("SUM(l_quantity)")} AS sum_qty,
+               {_r2("SUM(l_extendedprice)")} AS sum_base_price,
+               {_r2("SUM(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+               {round_half_up_expr("AVG(l_discount)", 6)} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -64,15 +75,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.expr(_r2("SUM(o_totalprice)")).alias("revenue"),
         )
     )
 
 
 def revenue_by_nation_sql() -> str:
-    return """
+    return f"""
         SELECT r_name, n_name, COUNT(*) AS n_orders,
-               round(SUM(o_totalprice), 2) AS revenue
+               {_r2("SUM(o_totalprice)")} AS revenue
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -90,14 +101,14 @@ def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.expr(_r2("SUM(l_quantity)")).alias("total_qty"),
         )
     )
 
 
 def parts_by_brand_sql() -> str:
-    return """
-        SELECT p_brand, COUNT(*) AS n_items, round(SUM(l_quantity), 2) AS total_qty
+    return f"""
+        SELECT p_brand, COUNT(*) AS n_items, {_r2("SUM(l_quantity)")} AS total_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size <= 10
         GROUP BY p_brand
@@ -115,13 +126,13 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("o_custkey", "o_orderkey",
-                F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+                F.expr(_r2("o_totalprice")).alias("o_totalprice"), "rn")
     )
 
 
 def top_orders_per_customer_sql(k: int = 3) -> str:
     return f"""
-        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        SELECT o_custkey, o_orderkey, {_r2("o_totalprice")} AS o_totalprice, rn
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                      row_number() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -185,13 +196,14 @@ def top_orders(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(k)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select("o_orderkey", "o_custkey",
+                F.expr(_r2("o_totalprice")).alias("o_totalprice"))
     )
 
 
 def top_orders_sql(k: int = 20) -> str:
     return f"""
-        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey, o_custkey, {_r2("o_totalprice")} AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {k}
     """
 
@@ -204,15 +216,15 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(_r2("SUM(value)")).alias("total_value"),
         )
     )
 
 
 def events_user_activity_sql() -> str:
-    return """
+    return f"""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
-               COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
+               COUNT(*) AS n_events, {_r2("SUM(value)")} AS total_value
         FROM events GROUP BY event_type
     """
 
@@ -253,7 +265,7 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(_r2("SUM(value)")).alias("total_value"),
             F.sum("k").cast("long").alias("sum_k"),
             F.max("k").cast("long").alias("max_k"),
         )
@@ -261,11 +273,11 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_profile_sql() -> str:
-    return """
+    return f"""
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(*) AS n_events,
-               round(SUM(value), 2) AS total_value,
+               {_r2("SUM(value)")} AS total_value,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         FROM events GROUP BY event_type
@@ -290,7 +302,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.expr(_r2("SUM(o_totalprice)")).alias("revenue"),
         )
         # subtotal rows carry NULL keys; coalesce so downstream sorters
         # and the driver's value hasher never see mixed null/str columns
@@ -304,11 +316,11 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_rollup_sql() -> str:
-    return """
+    return f"""
         SELECT COALESCE(r_name, 'ALL') AS r_name,
                COALESCE(n_name, 'ALL') AS n_name,
                COUNT(*) AS n_orders,
-               round(SUM(o_totalprice), 2) AS revenue
+               {_r2("SUM(o_totalprice)")} AS revenue
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -406,17 +418,22 @@ def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+            F.sum("o_totalprice").over(w).alias("rr_raw"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(_r2("rr_raw")).alias("running_revenue"),
         )
     )
 
 
 def running_customer_revenue_sql() -> str:
-    return """
+    over = ("SUM(o_totalprice) OVER (PARTITION BY o_custkey"
+            " ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)")
+    return f"""
         SELECT o_custkey, o_orderkey,
-               round(SUM(o_totalprice) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+               {_r2(over)} AS running_revenue
         FROM orders
     """
 
@@ -552,7 +569,7 @@ def activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.cube("event_type", "weekday")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             F.expr(_r2("SUM(value)")).alias("total_value"))
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
@@ -562,11 +579,11 @@ def activity_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def activity_cube_sql() -> str:
-    return """
+    return f"""
         SELECT COALESCE(event_type, 'ALL') AS event_type,
                COALESCE(strftime(ts, '%a'), 'ALL') AS weekday,
                COUNT(*) AS n_events,
-               round(SUM(value), 2) AS total_value
+               {_r2("SUM(value)")} AS total_value
         FROM events
         GROUP BY CUBE (event_type, strftime(ts, '%a'))
     """
@@ -940,15 +957,15 @@ def salted_join_user_segments(spark: SparkSession, sf_dir: str,
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(_r2("SUM(value)")).alias("total_value"),
         )
     )
 
 
 def salted_join_user_segments_sql() -> str:
-    return """
+    return f"""
         SELECT c_mktsegment, COUNT(*) AS n_events,
-               round(SUM(value), 2) AS total_value
+               {_r2("SUM(value)")} AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """
@@ -1020,7 +1037,7 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str,
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.expr(_r2("SUM(o_totalprice)")).alias("revenue"),
         )
     )
 
@@ -1028,7 +1045,7 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str,
 def bloom_semi_join_orders_sql(min_acctbal: float = 5000.0) -> str:
     return f"""
         SELECT o_orderstatus, COUNT(*) AS n_orders,
-               round(SUM(o_totalprice), 2) AS revenue
+               {_r2("SUM(o_totalprice)")} AS revenue
         FROM orders
         WHERE EXISTS (SELECT 1 FROM customer
                       WHERE c_custkey = o_custkey AND c_acctbal > {min_acctbal})

@@ -216,3 +216,20 @@ def test_pointer_jumping_matches_default_on_real_data(spark):
         for r in dedup.dedup_groups(spark, sf, pointer_jumping=True).collect()
     )
     assert a == b and a
+
+
+def test_dedup_groups_frees_sweep_checkpoints(spark, path_chain_dir):
+    """Every sweep's label snapshot is localCheckpoint'ed (lineage
+    truncation) and must be freed deterministically once superseded —
+    ``DataFrame.unpersist()`` is a no-op on checkpointed frames, so a
+    leak here leaves up to max_iters label snapshots in executor
+    storage.  Only the returned result's own checkpoint may remain."""
+    from pdf_extractor2_spark.operators.dedup import _persistent_rdd_ids
+
+    before = _persistent_rdd_ids(spark)
+    out = dedup.dedup_groups(
+        spark, path_chain_dir, threshold=0.1, max_iters=8, pointer_jumping=True
+    )
+    assert out.count() == CHAIN_N
+    leaked = _persistent_rdd_ids(spark) - before
+    assert len(leaked) <= 1, leaked

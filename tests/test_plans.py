@@ -107,13 +107,15 @@ def test_salted_join_equals_plain_join_and_shuffles(spark):
 
     from pyspark.sql import functions as F
 
+    from pdf_extractor2_spark.plans.relational import _r2
+
     ev = spark.read.parquet(f"{sf}/events.parquet")
     cust = spark.read.parquet(f"{sf}/customer.parquet")
     plain = (
         ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             F.expr(_r2("SUM(value)")).alias("total_value"))
     )
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in plain.collect())
@@ -139,7 +141,7 @@ def test_bloom_prefilter_prunes_but_never_changes_results(spark):
         orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.expr(relational._r2("SUM(o_totalprice)")).alias("revenue"))
     )
     want = sorted(tuple(r) for r in plain.collect())
     assert got == want and got

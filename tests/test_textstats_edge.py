@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 import pytest
 
 EDGE_TEXTS = [
+    None,                                   # NULL text: coalesce'd to ''
     "",                                     # empty: split -> ['']
     "one",                                  # single token, no 3-grams
     "a b",                                  # below shingle width
@@ -33,7 +34,10 @@ EDGE_TEXTS = [
 def edge_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("edgetexts")
     langs = ["en", "de", "fr"]
-    rows = [(i, t, langs[i % 3], "web", len(t)) for i, t in enumerate(EDGE_TEXTS)]
+    rows = [
+        (i, t, langs[i % 3], "web", len(t) if t is not None else 0)
+        for i, t in enumerate(EDGE_TEXTS)
+    ]
     table = pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows], pa.string()),
