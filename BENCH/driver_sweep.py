@@ -1,12 +1,13 @@
 """Driver-mimic correctness sweep: plain SparkSession (Spark 4 defaults,
-ANSI on) + DuckDB oracle compare at sf0.01, all queries."""
-import sys, json, hashlib
+ANSI on) + DuckDB oracle compare at sf0.01 (override the scale with
+``PEX2_SWEEP_SF=/root/testdata/sf0.1``), all queries."""
+import os, sys, json, hashlib
 sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("PEX2_SWEEP_SF", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = (
