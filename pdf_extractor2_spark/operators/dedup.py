@@ -374,7 +374,18 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    # materialize the edge/label caches (and the scoped jaccard caches
+    # under them) BEFORE any checkpoint id-window opens: the window
+    # diffs the persistent-RDD id set around the eager checkpoint, and
+    # a lazily-persisted upstream cache that first materializes inside
+    # sweep 1's job would be captured — and later DESTROYED — as if it
+    # were that sweep's checkpoint (found by round-4 review: freeing the
+    # edges cache forced a full shingle-pipeline recompute per sweep)
+    labels.count()
+
     labels_ck_ids: set[int] = set()  # empty: initial labels are persisted
+    pending_ids: set[int] = set()    # current sweep's not-yet-owned ids
+    inter = None
     try:
         converged = False
         for _ in range(max_iters):
@@ -386,7 +397,6 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
             )
-            inter = None
             if pointer_jumping:
                 # shortcut: label(v) ← label(label(v)); the propagated
                 # table feeds both sides of the self-join, so persist it
@@ -408,6 +418,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             # driver, and each sweep's blocks are freed explicitly once
             # the next sweep is materialized (see _tracked_local_checkpoint).
             new_labels, new_ids = _tracked_local_checkpoint(spark, prop)
+            pending_ids = new_ids
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -416,10 +427,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             )
             if inter is not None:
                 inter.unpersist()
+                inter = None
             # old labels: last read by the count above — free now
             labels.unpersist()
             _free_checkpoint(spark, labels_ck_ids)
             labels, labels_ck_ids = new_labels, new_ids
+            pending_ids = set()
             if changed == 0:
                 converged = True
                 break
@@ -442,7 +455,11 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     finally:
         edges.unpersist()
         labels.unpersist()
-        _free_checkpoint(spark, labels_ck_ids)
+        if inter is not None:  # a sweep aborted between persist and release
+            inter.unpersist()
+        # the last owned sweep, plus a checkpoint orphaned by an abort
+        # between its creation and the labels handover
+        _free_checkpoint(spark, labels_ck_ids | pending_ids)
 
 
 def dedup_groups_sql(table: str = "documents", threshold: float = 0.5,

@@ -275,18 +275,25 @@ def distinct_shingles_kmv(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> D
         F.max("h").alias("kth_min_h"), F.count("*").alias("k_used")
     )
     exact = dh.agg(F.count("*").alias("n_exact_distinct"))
+    est = round_half_up_expr(
+        f"case when k_used < {k} then cast(n_exact_distinct as double)"
+        f" else ((k_used - 1) * {P56}.0D) / kth_min_h end",
+        2,
+    )
     return sketch.crossJoin(exact).select(
         "n_exact_distinct", "k_used", "kth_min_h",
-        F.expr(
-            f"round(case when k_used < {k} then cast(n_exact_distinct as double)"
-            f" else ((k_used - 1) * {P56}.0D) / kth_min_h end, 2)"
-        ).alias("kmv_estimate"),
+        F.expr(est).alias("kmv_estimate"),
     )
 
 
 def distinct_shingles_kmv_sql(table: str = "documents", k: int = KMV_K) -> str:
     from .dedup import _ids_sql
 
+    est = round_half_up_expr(
+        f"CASE WHEN k_used < {k} THEN CAST(n_exact_distinct AS DOUBLE)"
+        f" ELSE ((k_used - 1) * CAST({P56} AS DOUBLE)) / kth_min_h END",
+        2,
+    )
     return f"""
         {_ids_sql(table)},
         h AS (SELECT DISTINCT sid AS h FROM ids),
@@ -294,9 +301,7 @@ def distinct_shingles_kmv_sql(table: str = "documents", k: int = KMV_K) -> str:
         sk AS (SELECT MAX(h) AS kth_min_h, COUNT(*) AS k_used FROM topk),
         exact_ct AS (SELECT COUNT(*) AS n_exact_distinct FROM h)
         SELECT n_exact_distinct, k_used, kth_min_h,
-               round(CASE WHEN k_used < {k} THEN CAST(n_exact_distinct AS DOUBLE)
-                          ELSE ((k_used - 1) * CAST({P56} AS DOUBLE)) / kth_min_h END, 2)
-                 AS kmv_estimate
+               {est} AS kmv_estimate
         FROM sk CROSS JOIN exact_ct
     """
 
