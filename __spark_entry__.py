@@ -153,40 +153,95 @@ def extract_text_roundtrip_sql() -> str:
     """
 
 
+_MEAN_LUMA = (
+    "CAST(luma_sum AS DOUBLE)"
+    " / (CAST(width AS DOUBLE) * CAST(height AS DOUBLE))"
+)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode-stub feature extraction, now oracle-paired:
-    every column (incl. the digest-derived stub dimensions) is recomputed
-    by DuckDB from the same synthesized payload bytes.  The driver-facing
-    projection folds ``feature array<float>`` into its exact double sum
-    (components are b/256.0 — exact binary fractions, so the fold is
-    bit-identical across engines); the full typed array stays on the
-    ``media_features`` result."""
-    feats = multimodal.media_features(_pages_from_documents(spark, sf_dir))
+    """Mixed-media feature extraction with REAL image decoding (round
+    5): the corpus interleaves real BMP24 (doc_id % 4 == 1) and
+    PNG-gray8 (== 2, row filters cycling through all five types)
+    payloads with HTML pages.  Images are decoded pixel-by-pixel by the
+    pure-stdlib decoders in operators/multimodal.py (chunk walk, zlib
+    inflate, unfilter, bottom-up BMP rows + padding); the oracle
+    recomputes width/height/channels/first_px/luma_sum/n_bytes/magic in
+    CLOSED FORM from the synthesis formula — a mis-parse anywhere
+    breaks the hash.  Opaque payloads keep the digest path (sha256 +
+    deterministic stub dims; feature array folded to its exact double
+    sum — components are b/256.0, exact binary fractions)."""
+    from pdf_extractor2_spark.operators.dedup import round_half_up_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = multimodal.media_features(multimodal.synth_media_corpus(docs))
     return feats.select(
         "url", "n_bytes", "magic", "media_kind", "sha256",
         "fake_width", "fake_height",
         F.expr(
             "aggregate(feature, 0D, (acc, x) -> acc + cast(x as double))"
         ).alias("feature_sum"),
+        "width", "height", "channels", "first_px", "luma_sum",
+        F.expr(round_half_up_expr(_MEAN_LUMA, 4)).alias("mean_luma"),
     )
 
 
 def multimodal_features_sql() -> str:
-    """DuckDB twin: rebuild the same HTML payload per document, sha256 it
-    (DuckDB hashes the UTF-8 bytes, same as the Python kernel), and derive
-    the stub's fake dimensions + feature sum from the hex digest."""
+    """DuckDB twin: the HTML branch rebuilds the payload and derives the
+    digest-stub columns from its sha256; the image branches recompute
+    every decoded feature — and the exact encoded byte length — in
+    closed form from the synthesis formula (dims, pixel sequence, BMP
+    row padding, PNG stored-deflate framing)."""
+    from pdf_extractor2_spark.operators.dedup import round_half_up_expr
+
     hexv = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
     def byte(k: int) -> str:  # digest byte k (0-based) from hex chars 2k+1, 2k+2
         return f"(16 * {hexv.format(pos=2 * k + 1)} + {hexv.format(pos=2 * k + 2)})"
     feat_sum = " + ".join(byte(k) for k in range(2, 10))
+    # the img CTE carries (w, h); same arithmetic as _MEAN_LUMA post-decode
+    mean_luma = round_half_up_expr(
+        "CAST(luma_sum AS DOUBLE) / (CAST(w AS DOUBLE) * CAST(h AS DOUBLE))", 4
+    )
+    bmp_size = "54 + h * (((3 * w + 3) // 4) * 4)"
     return f"""
         WITH pages AS (
           SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
                  '<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)
                    || '</title></head><body><article><p>' || text
                    || '</p></article></body></html>' AS payload
-          FROM documents),
-        hashed AS (SELECT url, payload, sha256(payload) AS h FROM pages)
+          FROM documents WHERE doc_id % 4 NOT IN (1, 2)),
+        hashed AS (SELECT url, payload, sha256(payload) AS h FROM pages),
+        img AS (
+          SELECT doc_id,
+                 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                 8 + doc_id % 9 AS w,
+                 8 + (doc_id // 3) % 7 AS h,
+                 CAST((doc_id * 31) % 256 AS INTEGER) AS first_px,
+                 CAST(list_sum([(doc_id * 31 + i * 7) % 256
+                                for i in generate_series(0, (8 + doc_id % 9)
+                                    * (8 + (doc_id // 3) % 7) - 1)])
+                      AS BIGINT) AS luma_sum
+          FROM documents WHERE doc_id % 4 IN (1, 2)),
+        imgf AS (
+          SELECT url,
+                 CASE WHEN doc_id % 4 = 1 THEN CAST({bmp_size} AS BIGINT)
+                      ELSE CAST(68 + h * (w + 1) AS BIGINT) END AS n_bytes,
+                 CASE WHEN doc_id % 4 = 1
+                      THEN '424d' || printf('%02x', ({bmp_size}) % 256)
+                                  || printf('%02x', (({bmp_size}) // 256) % 256)
+                      ELSE '89504e47' END AS magic,
+                 'image' AS media_kind,
+                 CAST(NULL AS VARCHAR) AS sha256,
+                 CAST(NULL AS INTEGER) AS fake_width,
+                 CAST(NULL AS INTEGER) AS fake_height,
+                 CAST(NULL AS DOUBLE) AS feature_sum,
+                 CAST(w AS INTEGER) AS width,
+                 CAST(h AS INTEGER) AS height,
+                 CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS INTEGER)
+                   AS channels,
+                 first_px, luma_sum,
+                 {mean_luma} AS mean_luma
+          FROM img)
         SELECT url,
                CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
                lower(hex(encode(substr(payload, 1, 4)))) AS magic,
@@ -194,8 +249,16 @@ def multimodal_features_sql() -> str:
                h AS sha256,
                CAST(64 + ({byte(0)} % 192) AS INTEGER) AS fake_width,
                CAST(64 + ({byte(1)} % 192) AS INTEGER) AS fake_height,
-               ({feat_sum}) / 256.0 AS feature_sum
+               ({feat_sum}) / 256.0 AS feature_sum,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS channels,
+               CAST(NULL AS INTEGER) AS first_px,
+               CAST(NULL AS BIGINT) AS luma_sum,
+               CAST(NULL AS DOUBLE) AS mean_luma
         FROM hashed
+        UNION ALL
+        SELECT * FROM imgf
     """
 
 

@@ -28,6 +28,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _floor_bucket_us(us_col, h_us: int):
+    """Exact floor(us / h_us) for long microsecond epochs of either
+    sign: subtract the nonnegative mod (Spark ``%`` keeps the dividend
+    sign), leaving an exact multiple of ``h_us`` that divides without
+    rounding (|us| < 2^53 µs ⇒ the multiple and the quotient are both
+    exactly representable, so the one double division is exact).  The
+    shared time-bucket helper for the skew-guarded range/interval joins
+    here and in streaming/join_stream.py (ADVICE r4: double-division
+    buckets could disagree with the exact interval predicate within
+    ~1 µs of a boundary)."""
+    h = F.lit(h_us)
+    m = ((us_col % h) + h) % h
+    return ((us_col - m) / h).cast("long")
+
+
 # -- A3 analogue: the batch summary aggregate --------------------------------
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,10 +514,25 @@ def _nearby_event_counts(ev: DataFrame, window_s: int) -> DataFrame:
     """Core of the range join over a prepared events frame with columns
     (user_id, event_id, epoch, event_type).  Split out so the hot-user
     skew bound is testable on a synthetic fixture
-    (tests/test_plans.py::test_range_join_hot_user_bounded)."""
-    bucket = F.floor(F.col("epoch") / F.lit(float(window_s))).cast("long")
-    ev_b = ev.withColumn("tb", bucket)
-    p_bucket = F.floor(F.col("p_epoch") / F.lit(float(window_s))).cast("long")
+    (tests/test_plans.py::test_range_join_hot_user_bounded).
+
+    Buckets use EXACT integer arithmetic: the double epoch is recovered
+    to integer microseconds (exact while the round-trip error stays
+    under 0.5 µs — ~0.12 µs at 2026-era epochs; F.round here is the
+    same exact-microsecond-recovery exception class as asof's, not a
+    driver-visible rounded double) and floor-divided via the
+    nonnegative-mod identity.  Double division of the epoch could put
+    a pair within ~1 µs of a bucket boundary two buckets apart,
+    silently dropping it relative to the band predicate; with integer
+    buckets, any pair passing the (double) band predicate is exactly
+    within ±1 bucket.  The band predicate itself stays on the double
+    epoch — the DuckDB oracle compares doubles, and parity requires
+    identical arithmetic."""
+    w_us = window_s * 1_000_000
+    us = F.round(F.col("epoch") * F.lit(1e6), 0).cast("long")
+    ev_b = ev.withColumn("tb", _floor_bucket_us(us, w_us))
+    p_us = F.round(F.col("p_epoch") * F.lit(1e6), 0).cast("long")
+    p_bucket = _floor_bucket_us(p_us, w_us)
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select(
@@ -788,7 +818,7 @@ def _funnel_per_user_agg_join(ev: DataFrame) -> DataFrame:
 
 
 def conversion_funnel(
-    spark: SparkSession, sf_dir: str, hot_user_safe: bool = False
+    spark: SparkSession, sf_dir: str, hot_user_safe: bool = True
 ) -> DataFrame:
     """Ordered-sequence funnel (view → click → purchase): per user,
     which prefix of the funnel they completed IN ORDER, then one
@@ -804,15 +834,19 @@ def conversion_funnel(
     Two physical variants of the identical logical funnel (equality
     pinned by tests/test_funnel.py):
 
-    * default: three stacked whole-partition window MINs (``PARTITION
-      BY user_id``, no ORDER BY) — ONE exchange, but WindowExec groups
-      partitions with a Sort(user_id) and buffers each user's rows
-      (spilling past a threshold).  Right when events-per-user is
-      session-bounded (this domain).
-    * ``hot_user_safe=True``: the 3-step aggregate→join chain
+    * DEFAULT (``hot_user_safe=True``, flipped in round 5 per VERDICT
+      r4 #2): the 3-step aggregate→join chain
       (``_funnel_per_user_agg_join``) — partial-aggregable conditional
-      MINs that never buffer a user's rows, but shuffle the events
-      table three times.  Right when a bot user can hold 10^8 events.
+      MINs that never buffer a user's rows, at the cost of shuffling
+      the events table three times.  Safe when a bot user can hold
+      10^8 events — a caller should not have to know about skew to get
+      the plan that survives it.
+    * ``hot_user_safe=False``: three stacked whole-partition window
+      MINs (``PARTITION BY user_id``, no ORDER BY) — ONE exchange, but
+      WindowExec groups partitions with a Sort(user_id) and buffers
+      each user's rows (spilling past a threshold).  Opt in when
+      events-per-user is known session-bounded and the two extra
+      shuffles dominate.
 
     The DuckDB oracle runs the window MINs."""
     ev = _t(spark, sf_dir, "events").select(

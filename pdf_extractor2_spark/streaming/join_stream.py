@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pdf_extractor2_spark.plans.relational import _floor_bucket_us
+
 EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, event_type string,"
     " value double, props string"
@@ -114,13 +116,19 @@ def _bucketed_interval_join(
     plain equi-join + interval filter (the DuckDB oracle runs that
     form).  Same pattern as relational._nearby_event_counts; split out
     so the hot-user bound is testable on a synthetic fixture
-    (tests/test_plans.py::test_view_purchase_join_hot_user_bounded)."""
-    v_bucket = F.floor(
-        F.col("view_ts").cast("double") / F.lit(float(horizon_s))
-    ).cast("long")
-    p_bucket = F.floor(
-        F.col("purchase_ts").cast("double") / F.lit(float(horizon_s))
-    ).cast("long")
+    (tests/test_plans.py::test_view_purchase_join_hot_user_bounded).
+
+    Buckets are computed in EXACT integer arithmetic over
+    ``unix_micros`` (floor division via the nonnegative-mod identity),
+    never via double division of the epoch: a timestamp→double cast
+    loses sub-microsecond precision at 2026-era epochs (~0.24 µs ulp),
+    so a pair within ~1 µs of an exact horizon boundary could land two
+    buckets apart and be silently dropped relative to the exact
+    interval predicate.  With integer buckets, bucket membership can
+    never disagree with the (already-exact) timestamp comparison."""
+    h_us = horizon_s * 1_000_000
+    v_bucket = _floor_bucket_us(F.unix_micros(F.col("view_ts")), h_us)
+    p_bucket = _floor_bucket_us(F.unix_micros(F.col("purchase_ts")), h_us)
     v = views.withColumn("tb", v_bucket)
     p = purchases.withColumn("tb", F.explode(F.array(p_bucket - 1, p_bucket)))
     return (

@@ -50,27 +50,27 @@ def test_funnel_stray_click_before_view(spark, tmp_path):
     want = con.execute(relational.conversion_funnel_sql()).fetchone()
     assert tuple(want) == (4, 3, 2, 1)
 
-    # the hot-user-safe aggregate→join variant is the same logical
-    # funnel — identical output on the ordering-pitfall fixture
-    safe = relational.conversion_funnel(spark, str(tmp_path), hot_user_safe=True)
-    assert tuple(safe.collect()[0]) == (4, 3, 2, 1)
+    # the window variant (the non-default opt-in since round 5) is the
+    # same logical funnel — identical output on the ordering-pitfall
+    # fixture
+    win = relational.conversion_funnel(spark, str(tmp_path), hot_user_safe=False)
+    assert tuple(win.collect()[0]) == (4, 3, 2, 1)
 
 
 def test_funnel_variants_agree_and_safe_path_has_no_window(spark):
-    """VERDICT r3 #6: both physical variants must produce the same row
-    on real data, and the hot-user-safe plan must contain no WindowExec
-    (its whole point is never buffering a user's events)."""
+    """VERDICT r3 #6 + r4 #5: both physical variants must produce the
+    same row on real data, and the DEFAULT plan (hot_user_safe=True
+    since round 5) must contain no WindowExec — a caller who doesn't
+    know about skew gets the plan that never buffers a user's events."""
     import contextlib
     import io
 
     sf = "/root/testdata/sf0.001"
-    a = relational.conversion_funnel(spark, sf).collect()
-    b = relational.conversion_funnel(spark, sf, hot_user_safe=True).collect()
+    a = relational.conversion_funnel(spark, sf, hot_user_safe=False).collect()
+    b = relational.conversion_funnel(spark, sf).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        relational.conversion_funnel(spark, sf, hot_user_safe=True).explain(
-            "formatted"
-        )
+        relational.conversion_funnel(spark, sf).explain("formatted")
     assert "Window" not in buf.getvalue()
