@@ -175,14 +175,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = multimodal.media_features(multimodal.synth_media_corpus(docs))
+    # sentinels, not NULLs, for the path-dependent columns: a column
+    # mixing None with ints/floats breaks order-insensitive row sorting
+    # in value compares (same reason asof_last_click uses -1.0)
     return feats.select(
-        "url", "n_bytes", "magic", "media_kind", "sha256",
-        "fake_width", "fake_height",
-        F.expr(
-            "aggregate(feature, 0D, (acc, x) -> acc + cast(x as double))"
+        "url", "n_bytes", "magic", "media_kind",
+        F.coalesce("sha256", F.lit("")).alias("sha256"),
+        F.coalesce("fake_width", F.lit(-1)).alias("fake_width"),
+        F.coalesce("fake_height", F.lit(-1)).alias("fake_height"),
+        F.coalesce(
+            F.expr("aggregate(feature, 0D, (acc, x) -> acc + cast(x as double))"),
+            F.lit(-1.0),
         ).alias("feature_sum"),
-        "width", "height", "channels", "first_px", "luma_sum",
-        F.expr(round_half_up_expr(_MEAN_LUMA, 4)).alias("mean_luma"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("first_px", F.lit(-1)).alias("first_px"),
+        F.coalesce("luma_sum", F.lit(-1).cast("long")).alias("luma_sum"),
+        F.coalesce(
+            F.expr(round_half_up_expr(_MEAN_LUMA, 4)), F.lit(-1.0)
+        ).alias("mean_luma"),
     )
 
 
@@ -231,10 +243,10 @@ def multimodal_features_sql() -> str:
                                   || printf('%02x', (({bmp_size}) // 256) % 256)
                       ELSE '89504e47' END AS magic,
                  'image' AS media_kind,
-                 CAST(NULL AS VARCHAR) AS sha256,
-                 CAST(NULL AS INTEGER) AS fake_width,
-                 CAST(NULL AS INTEGER) AS fake_height,
-                 CAST(NULL AS DOUBLE) AS feature_sum,
+                 '' AS sha256,
+                 CAST(-1 AS INTEGER) AS fake_width,
+                 CAST(-1 AS INTEGER) AS fake_height,
+                 CAST(-1.0 AS DOUBLE) AS feature_sum,
                  CAST(w AS INTEGER) AS width,
                  CAST(h AS INTEGER) AS height,
                  CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS INTEGER)
@@ -250,12 +262,12 @@ def multimodal_features_sql() -> str:
                CAST(64 + ({byte(0)} % 192) AS INTEGER) AS fake_width,
                CAST(64 + ({byte(1)} % 192) AS INTEGER) AS fake_height,
                ({feat_sum}) / 256.0 AS feature_sum,
-               CAST(NULL AS INTEGER) AS width,
-               CAST(NULL AS INTEGER) AS height,
-               CAST(NULL AS INTEGER) AS channels,
-               CAST(NULL AS INTEGER) AS first_px,
-               CAST(NULL AS BIGINT) AS luma_sum,
-               CAST(NULL AS DOUBLE) AS mean_luma
+               CAST(-1 AS INTEGER) AS width,
+               CAST(-1 AS INTEGER) AS height,
+               CAST(-1 AS INTEGER) AS channels,
+               CAST(-1 AS INTEGER) AS first_px,
+               CAST(-1 AS BIGINT) AS luma_sum,
+               CAST(-1.0 AS DOUBLE) AS mean_luma
         FROM hashed
         UNION ALL
         SELECT * FROM imgf

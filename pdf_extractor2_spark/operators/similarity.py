@@ -275,25 +275,38 @@ def ann_ivf(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
 # counts bounded — these synthetic embeddings are near-uniform, so the
 # candidate fractions above are a worst case (real near-dup corpora
 # cluster, colliding less at the same recall).
-N_SIG_BANDS = 8
-BAND_DIMS = 5
+N_SIG_BANDS = 9
+BAND_DIMS = 7
+PROBE_H1 = True
 
 
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+    probe_h1: bool = PROBE_H1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, banded hyperplane-LSH:
     the sign pattern of the first ``n_bands*band_dims`` components is
     split into ``n_bands`` bands of ``band_dims`` sign bits; candidates
-    are pairs agreeing on ≥1 whole band (multi-probe — the same banding
-    idea as MinHash-LSH), exact cosine is computed only for candidates.
+    are pairs agreeing on ≥1 whole band (the same banding idea as
+    MinHash-LSH), exact cosine is computed only for candidates.
 
-    A single monolithic sign block misses near-dups that straddle one
-    hyperplane; banding recovers them (recall is provably ≥ the
-    monolithic block's: agreeing on all bits implies agreeing on every
-    band).  Candidate count still scales with bucket collisions, never
-    n²; the recall/cost knob is (n_bands, band_dims).
+    ``probe_h1=True`` (the default since round 5) adds Hamming-1
+    MULTIPROBE: one side additionally emits every 1-bit flip of each
+    band key, so a pair whose band keys differ in a single sign bit
+    still collides — the standard multiprobe-LSH trick for recovering
+    pairs that straddle one hyperplane.  Measured on sf0.1 against
+    all-pairs ground truth (BENCH/neardup_recall_sweep.py, curve in
+    BENCH/BASELINE.md): the round-4 default (8 bands × 5 bits, no
+    probe) recalled 0.546 of true cos≥0.35 pairs at 22% of all-pairs
+    cost; the new default (9 × 7 + H1) recalls 0.872 at 44% — and 1.0
+    for every pair above cos 0.55 (the production near-dup regime).
+    Axis signs beat Rademacher random-projection bits on this corpus
+    (measured 0.80-0.81 recall at HIGHER cost for 16-20 rproj bands —
+    the cluster structure is axis-aligned).
+
+    Candidate count still scales with bucket collisions, never n²; the
+    recall/cost knobs are (n_bands, band_dims, probe_h1).
 
     Plan shape: the embeddings scan is persisted and referenced four
     times from the cache (band side a, band side b, exact-score side a,
@@ -301,16 +314,18 @@ def embedding_near_dup_pairs(
     where the round-2 8-band union re-scanned it 16× (pinned by
     tests/test_plans.py::test_embedding_near_dup_scans_embeddings_once).
     The bands are a single explode projection, not an n_bands-way
-    union."""
+    union; the H1 probes are a second explode over the band frame (the
+    probe side grows band_dims+1×, the build side does not)."""
     from .dedup import _scoped_clear, _scoped_persist
 
     _scoped_clear()
     emb = _scoped_persist(_emb(spark, sf_dir))
-    return _near_dup_pairs_from(emb, threshold, n_bands, band_dims)
+    return _near_dup_pairs_from(emb, threshold, n_bands, band_dims, probe_h1)
 
 
 def _near_dup_pairs_from(
-    emb: DataFrame, threshold: float, n_bands: int, band_dims: int
+    emb: DataFrame, threshold: float, n_bands: int, band_dims: int,
+    probe_h1: bool = PROBE_H1,
 ) -> DataFrame:
     """Core of the banded hyperplane-LSH near-dup join over an
     ALREADY-PERSISTED embeddings frame (every branch — band a/b,
@@ -331,7 +346,21 @@ def _near_dup_pairs_from(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a, b = bands.alias("a"), bands.alias("b")
+    if probe_h1:
+        flips = bands.select(
+            "vec_id", "band",
+            F.explode(F.expr(
+                f"transform(sequence(1, {band_dims}), f -> concat("
+                "substring(key, 1, f - 1),"
+                " case when substring(key, f, 1) = '1' then '0' else '1' end,"
+                " substring(key, f + 1)))"
+            )).alias("key"),
+        )
+        probed = bands.unionByName(flips)
+    else:
+        probed = bands
+
+    a, b = probed.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
@@ -359,6 +388,7 @@ def _near_dup_pairs_from(
 def embedding_near_dup_labeled(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+    probe_h1: bool = PROBE_H1,
 ) -> DataFrame:
     """Near-dup pairs enriched with each side's label and the label's
     centroid-norm profile (``label_centroid_norms``) — one driver row
@@ -371,7 +401,7 @@ def embedding_near_dup_labeled(
 
     _scoped_clear()
     emb = _scoped_persist(_emb(spark, sf_dir))
-    pairs = _near_dup_pairs_from(emb, threshold, n_bands, band_dims)
+    pairs = _near_dup_pairs_from(emb, threshold, n_bands, band_dims, probe_h1)
 
     labels = emb.select("vec_id", "label")
     norm = _DOT.format(a="embedding", b="embedding")
@@ -413,6 +443,7 @@ def embedding_near_dup_labeled(
 def embedding_near_dup_pairs_sql(
     table: str = "embeddings", threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+    probe_h1: bool = PROBE_H1,
 ) -> str:
     band_selects = "\nUNION ALL\n".join(
         f"""SELECT vec_id, {j} AS band,
@@ -422,14 +453,26 @@ def embedding_near_dup_pairs_sql(
             FROM {table}"""
         for j in range(n_bands)
     )
+    if probe_h1:
+        probed = f"""
+            SELECT vec_id, band, key FROM bands
+            UNION ALL
+            SELECT vec_id, band,
+                   substr(key, 1, f - 1)
+                     || (CASE WHEN substr(key, f, 1) = '1' THEN '0' ELSE '1' END)
+                     || substr(key, f + 1) AS key
+            FROM bands, generate_series(1, {band_dims}) g(f)"""
+    else:
+        probed = "SELECT vec_id, band, key FROM bands"
     dot = _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
     na = _DOT_SQL.format(a="ea.embedding", b="ea.embedding")
     nb = _DOT_SQL.format(a="eb.embedding", b="eb.embedding")
     return f"""
         WITH bands AS ({band_selects}),
+        probed AS ({probed}),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM bands a JOIN bands b
+          FROM probed a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b,
                {_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")} AS cos_sim
@@ -553,8 +596,11 @@ def ann_ivf_sql(table: str = "embeddings", query_vec_id: int = 0,
 def embedding_near_dup_labeled_sql(
     table: str = "embeddings", threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
+    probe_h1: bool = PROBE_H1,
 ) -> str:
-    pairs = embedding_near_dup_pairs_sql(table, threshold, n_bands, band_dims)
+    pairs = embedding_near_dup_pairs_sql(
+        table, threshold, n_bands, band_dims, probe_h1
+    )
     norms = label_centroid_norms_sql(table)
     return f"""
         SELECT p.vec_a, p.vec_b, p.cos_sim,
