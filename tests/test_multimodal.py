@@ -32,6 +32,72 @@ def test_codec_roundtrip_and_length_closed_forms():
         assert len(png) == 68 + h * (w + 1), d
 
 
+def test_codec_random_pixel_fuzz():
+    """Roundtrip on RANDOM pixels and dims (not the corpus formula):
+    hand-built PNG/BMP encodings with arbitrary content must decode to
+    exactly the source pixels — guards against the decoders passing
+    only because the synthesis formula hides a symmetric bug (e.g. a
+    sign error that cancels under the linear pixel pattern)."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(99)
+    for _ in range(60):
+        w = rng.randrange(1, 40)
+        h = rng.randrange(1, 25)
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        total = sum(sum(r) for r in px)
+
+        # PNG via the module's own filter encoder (monkey-build: reuse
+        # gen path by patching the row source is overkill — build the
+        # stream with the same filter cycle directly)
+        raw = bytearray()
+        prev = bytes(w)
+        for r in range(h):
+            line = bytes(px[r])
+            ft = r % 5
+            raw.append(ft)
+            if ft == 0:
+                flt = line
+            elif ft == 1:
+                flt = bytes((line[c] - (line[c - 1] if c else 0)) % 256
+                            for c in range(w))
+            elif ft == 2:
+                flt = bytes((line[c] - prev[c]) % 256 for c in range(w))
+            elif ft == 3:
+                flt = bytes(
+                    (line[c] - ((line[c - 1] if c else 0) + prev[c]) // 2) % 256
+                    for c in range(w))
+            else:
+                flt = bytes(
+                    (line[c] - mm._paeth(line[c - 1] if c else 0, prev[c],
+                                         prev[c - 1] if c else 0)) % 256
+                    for c in range(w))
+            raw += flt
+            prev = line
+        comp = zlib.compressobj(rng.randrange(10))  # any level must decode
+        idat = comp.compress(bytes(raw)) + comp.flush()
+        png = (mm._PNG_SIG
+               + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + mm._png_chunk(b"IDAT", idat)
+               + mm._png_chunk(b"IEND", b""))
+        assert mm.decode_png_gray8(png) == (w, h, 1, px[0][0], total), (w, h)
+
+        # BMP24 bottom-up with padding, gray pixels
+        rowsz = ((3 * w + 3) // 4) * 4
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + h * rowsz, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * rowsz,
+                             0, 0, 0, 0))
+        body = bytearray()
+        for r in range(h - 1, -1, -1):
+            for p in px[r]:
+                body += bytes((p, p, p))
+            body += b"\xab" * (rowsz - 3 * w)  # junk padding must be skipped
+        bmp = hdr + bytes(body)
+        assert mm.decode_bmp24(bmp) == (w, h, 3, px[0][0], total), (w, h)
+
+
 def test_png_filters_all_five_types_present():
     """The encoder cycles filters r % 5 — the raw pre-compression
     stream must actually contain each filter tag (guards against the
