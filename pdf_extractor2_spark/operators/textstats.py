@@ -580,11 +580,21 @@ def _ppx_scores(base: DataFrame) -> DataFrame:
         )
     )
     tr = mapped.where("is_train")
-    big = tr.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
-    ctx = tr.groupBy("prev").agg(F.count("*").alias("cp"))
+    # persisted: big feeds three branches (context counts, vocab size,
+    # the scoring join) — without the cache each would re-run the
+    # corpus-pair aggregation
+    big = _scoped_persist(
+        tr.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    )
+    # context counts and vocab size derive from the MODEL table, not a
+    # second corpus pass: Σ_cur c(prev,cur) = c(prev) and the distinct
+    # mapped cur set is exactly big's cur column — big is ≤ (K+2)² rows
+    # by construction, so these re-aggregations are metadata-sized
+    # (round-5 rework: the corpus-pair frame is aggregated ONCE)
+    ctx = big.groupBy("prev").agg(F.sum("cb").cast("long").alias("cp"))
     # +1 reserves an outcome slot for unk even when the train slice has
-    # no OOV; COUNT(DISTINCT) over ≤ K+1 mapped types
-    vsz = tr.agg((F.countDistinct("cur") + F.lit(1)).cast("long").alias("v"))
+    # no OOV
+    vsz = big.agg((F.countDistinct("cur") + F.lit(1)).cast("long").alias("v"))
     # ONE smoothed-score expression instead of a model/context-fallback/
     # unk-fallback coalesce chain: s = ln((c(prev,cur)+1)/(c(prev)+V))
     # with missing counts defaulting to 0 covers all three cases (seen
@@ -656,10 +666,9 @@ def _ppx_sql_ctes(base: str) -> str:
           FROM ppx_rw),
         ppx_big AS (SELECT prev, cur, COUNT(*) AS cb
                     FROM ppx_mapped WHERE is_train GROUP BY 1, 2),
-        ppx_ctx AS (SELECT prev, COUNT(*) AS cp
-                    FROM ppx_mapped WHERE is_train GROUP BY 1),
-        ppx_vsz AS (SELECT COUNT(DISTINCT cur) + 1 AS v
-                    FROM ppx_mapped WHERE is_train),
+        ppx_ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cp
+                    FROM ppx_big GROUP BY 1),
+        ppx_vsz AS (SELECT COUNT(DISTINCT cur) + 1 AS v FROM ppx_big),
         ppx_scored AS (
           SELECT m.doc_id, {s_all} AS s
           FROM ppx_mapped m
