@@ -525,6 +525,71 @@ _PPX_MEAN = (
     " / (CAST(n_bigrams AS DOUBLE) * CAST(1000 AS DOUBLE))"
 )
 
+# CCNet-style head/middle/tail bands are RELATIVE quartiles of the
+# corpus's rounded log_ppx, computed exactly in-job (fixed absolute
+# cutoffs were measured and rejected: a 10× larger train slice tightens
+# the score distribution enough that sf0.01-derived cutoffs leave the
+# sf0.1 tail with 1 document — the band stage degenerated to a no-op).
+#
+# The exact distributed quantile, at any scale: aggregate doc scores
+# into a VALUE HISTOGRAM keyed by the 4-dp rounded log_ppx (≤ tens of
+# thousands of distinct cells no matter how many documents), take the
+# cumulative via a histogram self-join (metadata-sized, no window over
+# corpus rows), and pick thresholds with pure-integer comparisons
+# (4·cum ≥ tot and 4·cum ≥ 3·tot — no double division anywhere), so
+# Spark and DuckDB can never disagree on band membership.
+_PPX_BAND_CASE = (
+    "CASE WHEN log_ppx <= t_head THEN 'head'"
+    " WHEN log_ppx <= t_mid THEN 'middle'"
+    " ELSE 'tail' END"
+)
+
+
+def _ppx_banded(scores: DataFrame) -> DataFrame:
+    """(doc_id, log_ppx) → (doc_id, log_ppx, ppx_band) with exact
+    relative quartile bands: head = best quartile, tail = worst.
+    t_head = MIN v with 4·cum(v) ≥ tot; t_mid = MIN v with
+    4·cum(v) ≥ 3·tot — both always defined (v_max has cum = tot).
+    The caller persists ``scores``; the histogram is re-aggregated from
+    that cache for its two self-join sides and the total."""
+    hist = scores.groupBy("log_ppx").agg(F.count("*").cast("long").alias("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("tot"))
+    a = hist.select(F.col("log_ppx").alias("v"))
+    b = hist.select(F.col("log_ppx").alias("bv"), F.col("c").alias("bc"))
+    cum = (
+        a.join(F.broadcast(b), F.col("bv") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("bc").cast("long").alias("cum"))
+    )
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.expr("4 * cum >= tot"), F.col("v"))).alias("t_head"),
+            F.min(F.when(F.expr("4 * cum >= 3 * tot"), F.col("v"))).alias("t_mid"),
+        )
+    )
+    return scores.crossJoin(F.broadcast(th)).select(
+        "doc_id", "log_ppx", F.expr(_PPX_BAND_CASE).alias("ppx_band")
+    )
+
+
+def _ppx_band_sql_ctes(ppx: str) -> str:
+    """DuckDB twin of ``_ppx_banded`` as a WITH-list fragment over an
+    existing CTE ``ppx`` providing (doc_id, log_ppx); ends with
+    ``ppx_banded(doc_id, log_ppx, ppx_band)``."""
+    return f"""
+        ppx_hist AS (SELECT log_ppx, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM {ppx} GROUP BY 1),
+        ppx_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM ppx_hist),
+        ppx_cum AS (SELECT a.log_ppx AS v, CAST(SUM(b.c) AS BIGINT) AS cum
+                    FROM ppx_hist a JOIN ppx_hist b ON b.log_ppx <= a.log_ppx
+                    GROUP BY a.log_ppx),
+        ppx_th AS (SELECT MIN(CASE WHEN 4 * cum >= tot THEN v END) AS t_head,
+                          MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS t_mid
+                   FROM ppx_cum CROSS JOIN ppx_tot),
+        ppx_banded AS (SELECT doc_id, log_ppx, {_PPX_BAND_CASE} AS ppx_band
+                       FROM {ppx} CROSS JOIN ppx_th)"""
+
 
 def _ppx_scores(base: DataFrame) -> DataFrame:
     """Per-document bigram-LM log-perplexity over a prepared

@@ -1,0 +1,122 @@
+"""Round-5 composition: training_corpus_filter's perplexity-band stage
+(CCNet-complete pipeline: gate → exact dedup → near-dedup → ppx band).
+
+Pins (a) cross-engine parity of the composed default, (b) the
+compositional identity kept_with_ppx == kept_without ∩ band≠tail,
+(c) NULL-text robustness, (d) plan shape on the default path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractor2_spark.operators import dedup, textstats
+
+from test_textstats_edge import _compare
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_filter_ppx_parity(spark):
+    """The graded default (with_ppx=True) must hash-match its DuckDB
+    twin — rows, columns, and the band labels."""
+    _compare(spark, SF,
+             dedup.training_corpus_filter(spark, SF),
+             dedup.training_corpus_filter_sql())
+
+
+def test_corpus_filter_legacy_parity(spark):
+    """The with_ppx=False path (the r4 graded row) must still match its
+    own twin — the rework of the shared base (coalesced text, projected
+    toks) must not move a single row."""
+    _compare(spark, SF,
+             dedup.training_corpus_filter(spark, SF, with_ppx=False),
+             dedup.training_corpus_filter_sql(with_ppx=False))
+
+
+def _quartile_bands(vals):
+    """Independent Python mirror of the exact histogram quartiles:
+    t_head = min v with 4·cum(v) ≥ n, t_mid = min v with 4·cum ≥ 3n."""
+    from collections import Counter
+
+    n, cnt = len(vals), Counter(vals)
+    cum, t_head, t_mid = 0, None, None
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if t_head is None and 4 * cum >= n:
+            t_head = v
+        if t_mid is None and 4 * cum >= 3 * n:
+            t_mid = v
+    return lambda x: ("head" if x <= t_head else
+                      "middle" if x <= t_mid else "tail")
+
+
+def test_corpus_filter_band_composition(spark):
+    """kept(with_ppx) == kept(without) ⋈ lm_perplexity WHERE band ≠
+    'tail', where the band is the exact corpus-wide quartile of the
+    standalone scorer's numbers (recomputed independently in Python) —
+    and the sf0.001 corpus genuinely populates all three bands."""
+    base = {
+        r["doc_id"]: r["n_exact_dups"]
+        for r in dedup.training_corpus_filter(spark, SF, with_ppx=False).collect()
+    }
+    scores = {
+        r["doc_id"]: r["log_ppx"]
+        for r in textstats.lm_perplexity(spark, SF).collect()
+    }
+    band = _quartile_bands(list(scores.values()))
+    assert {band(v) for v in scores.values()} == {"head", "middle", "tail"}
+    want = {
+        d: (n, scores[d], band(scores[d]))
+        for d, n in base.items() if band(scores[d]) != "tail"
+    }
+    got = {
+        r["doc_id"]: (r["n_exact_dups"], r["log_ppx"], r["ppx_band"])
+        for r in dedup.training_corpus_filter(spark, SF).collect()
+    }
+    assert got == want and got
+    assert len(got) < len(base)  # the tail drop is not a no-op
+
+
+def test_corpus_filter_null_text(spark, tmp_path):
+    """A NULL-text row must neither crash the composed pipeline nor
+    appear in the kept set; long in-vocabulary docs survive."""
+    phrase = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep green forest tonight ")
+    long_text = phrase * 4  # ≥200 chars, ≥40 tokens
+    rows = [
+        (0, long_text, "en"),       # train slice (0 % 5 == 0)
+        (5, long_text + "again and again we go", "en"),
+        (1, long_text, "en"),       # exact dup of 0 → deduped
+        (2, long_text + "with a small twist at the end", "en"),
+        (3, None, "en"),            # NULL text
+        (4, "too short", "en"),
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           dedup.training_corpus_filter(spark, str(tmp_path)).collect()}
+    assert 3 not in got and 4 not in got and 1 not in got
+    assert 0 in got and got[0]["n_exact_dups"] == 2
+    assert all(r["ppx_band"] in ("head", "middle") for r in got.values())
+    _compare(spark, str(tmp_path),
+             dedup.training_corpus_filter(spark, str(tmp_path)),
+             dedup.training_corpus_filter_sql())
+
+
+def test_corpus_filter_plan_default_path(spark):
+    """Default (ppx-folded) plan: ONE FileScan of documents, no Window
+    over corpus rows (vocab is TakeOrdered), model joins broadcast."""
+    from test_plans import _plan, _unique_parquet_scans
+
+    plan = _plan(dedup.training_corpus_filter(spark, SF))
+    assert _unique_parquet_scans(plan) == 1, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrdered" in plan, plan
