@@ -111,6 +111,61 @@ def test_corpus_filter_null_text(spark, tmp_path):
              dedup.training_corpus_filter_sql())
 
 
+@pytest.mark.parametrize("seed", [7, 19, 31])
+def test_corpus_filter_random_corpus_parity(spark, tmp_path, seed):
+    """Randomized campaign for the composed filter: corpora with
+    planted exact duplicates, mutated near-duplicates, gate-failers,
+    NULL/empty text — the full gate → exact → near → quartile-band
+    pipeline must hash-match DuckDB exactly.  The quartile thresholds
+    make every band depend on EVERY document's score, so a single
+    cross-engine score disagreement anywhere shifts band membership
+    and fails the compare — the strongest parity stress in the file."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(seed)
+    words = ["the", "a", "of", "and", "to", "in"] + [f"w{i}" for i in range(400)]
+    rows, d = [], 0
+    while d < 200:
+        kind = rng.randrange(6)
+        if kind == 0:
+            text = None
+        elif kind == 1:
+            text = " ".join(rng.choice(words) for _ in range(rng.randrange(1, 30)))
+        else:
+            body = [words[min(int(rng.paretovariate(1.3)), len(words) - 1)]
+                    for _ in range(rng.randrange(45, 120))]
+            text = " ".join(body)
+            while len(text) < 200:
+                text += " " + " ".join(body)
+        rows.append((d, text)); d += 1
+        if text and kind >= 2 and rng.random() < 0.3 and d < 200:
+            rows.append((d, text)); d += 1          # planted exact dup
+        if text and kind >= 2 and rng.random() < 0.3 and d < 200:
+            toks = text.split(" ")
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((d, " ".join(toks))); d += 1  # near-dup
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    p = tmp_path / f"tcf{seed}"
+    p.mkdir()
+    pq.write_table(table, str(p / "documents.parquet"))
+
+    got = sorted(tuple(r) for r in
+                 dedup.training_corpus_filter(spark, str(p)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM"
+                f" read_parquet('{p}/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(dedup.training_corpus_filter_sql()).fetchall())
+    assert got == want, next((a, b) for a, b in zip(got, want) if a != b)
+    assert got  # corpora are built to keep at least one gate-passer
+
+
 def test_corpus_filter_plan_default_path(spark):
     """Default (ppx-folded) plan: ONE FileScan of documents, no Window
     over corpus rows (vocab is TakeOrdered), model joins broadcast."""
