@@ -179,7 +179,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixing None with ints/floats breaks order-insensitive row sorting
     # in value compares (same reason asof_last_click uses -1.0)
     return feats.select(
-        "url", "n_bytes", "magic", "media_kind",
+        "url", "n_bytes",
+        # NULL-payload rows (NULL text → NULL html, mirroring F.concat)
+        # surface as '' sentinels: mixed None/str columns break the
+        # order-insensitive row sort in value compares
+        F.coalesce("magic", F.lit("")).alias("magic"),
+        F.coalesce("media_kind", F.lit("")).alias("media_kind"),
         F.coalesce("sha256", F.lit("")).alias("sha256"),
         F.coalesce("fake_width", F.lit(-1)).alias("fake_width"),
         F.coalesce("fake_height", F.lit(-1)).alias("fake_height"),
@@ -255,13 +260,21 @@ def multimodal_features_sql() -> str:
                  {mean_luma} AS mean_luma
           FROM img)
         SELECT url,
-               CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
-               lower(hex(encode(substr(payload, 1, 4)))) AS magic,
-               'html' AS media_kind,
-               h AS sha256,
-               CAST(64 + ({byte(0)} % 192) AS INTEGER) AS fake_width,
-               CAST(64 + ({byte(1)} % 192) AS INTEGER) AS fake_height,
-               ({feat_sum}) / 256.0 AS feature_sum,
+               CAST(COALESCE(octet_length(encode(payload)), 0) AS BIGINT)
+                 AS n_bytes,
+               COALESCE(lower(hex(encode(substr(payload, 1, 4)))), '')
+                 AS magic,
+               CASE WHEN payload IS NULL THEN '' ELSE 'html' END
+                 AS media_kind,
+               COALESCE(h, '') AS sha256,
+               CAST(CASE WHEN h IS NULL THEN -1
+                         ELSE 64 + ({byte(0)} % 192) END AS INTEGER)
+                 AS fake_width,
+               CAST(CASE WHEN h IS NULL THEN -1
+                         ELSE 64 + ({byte(1)} % 192) END AS INTEGER)
+                 AS fake_height,
+               CASE WHEN h IS NULL THEN CAST(-1.0 AS DOUBLE)
+                    ELSE ({feat_sum}) / 256.0 END AS feature_sum,
                CAST(-1 AS INTEGER) AS width,
                CAST(-1 AS INTEGER) AS height,
                CAST(-1 AS INTEGER) AS channels,
@@ -324,6 +337,8 @@ def multimodal_frames_sql() -> str:
                    || '</title></head><body><article><p>' || text
                    || '</p></article></body></html>' AS payload
           FROM documents),
+        -- NULL text → NULL payload (F.concat semantics); the Spark
+        -- kernel SKIPS NULL/empty payloads, so the oracle must too
         frames AS (
           SELECT url,
                  CAST(i AS INTEGER) AS frame_idx,
@@ -336,7 +351,8 @@ def multimodal_frames_sql() -> str:
                                LEAST({chunk}, length(payload)
                                      - (i * length(payload)) // {n_frames})))
                    AS frame_sig
-          FROM pages CROSS JOIN generate_series(0, {n_frames - 1}) t(i))
+          FROM pages CROSS JOIN generate_series(0, {n_frames - 1}) t(i)
+          WHERE payload IS NOT NULL AND length(payload) > 0)
         SELECT url, frame_idx, frame_off, frame_len, frame_sig,
                {luma} AS luma
         FROM frames

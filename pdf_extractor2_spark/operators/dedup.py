@@ -344,6 +344,37 @@ def _free_checkpoint(spark: SparkSession, ids: set[int]) -> None:
             r.unpersist(False)
 
 
+def _reliable_ckpt_file(df: DataFrame) -> str | None:
+    """Path of the files backing a reliably-checkpointed frame, read off
+    the LogicalRDD's own RDD (same ownership idiom as
+    ``_tracked_local_checkpoint``).  None on an exotic py4j surface —
+    the caller then skips eager cleanup and the files are left to the
+    checkpoint dir's owner."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # pragma: no cover - non-classic py4j surface
+        return None
+
+
+def _delete_ckpt_files(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete of a SUPERSEDED reliable
+    checkpoint's directory via the Hadoop FS API (scheme-agnostic:
+    file://, hdfs://, s3a:// — whatever the checkpoint dir uses).
+    Spark itself never deletes these (ContextCleaner only cleans
+    checkpoint files when ``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` is set, and then only on driver GC), so a long
+    iterative campaign would otherwise strand one full label-table
+    copy per cadence point on the store."""
+    try:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:  # pragma: no cover - cleanup must never fail a job
+        pass
+
+
 #: after this many unconverged plain sweeps the default (auto) mode
 #: switches pointer jumping on — near-dup components normally converge
 #: in 2-4 sweeps, so reaching 8 means the graph hides a long chain and
@@ -402,7 +433,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     points persist WITHOUT truncating lineage, so a lost block
     recomputes from the last reliable checkpoint (bounded to
     ``checkpoint_every`` sweeps of replay) instead of failing the job.
-    Pinned equal to the default on real data by tests/test_dedup_cap.py.
+    Superseded cadence checkpoints are DELETED as soon as the next one
+    materializes (Spark's ContextCleaner never cleans checkpoint files
+    under default config, so a long campaign would otherwise strand one
+    full label-table copy per cadence point); on-store footprint is
+    therefore ≤ 2 label tables at any instant, and exactly the returned
+    frame's files remain afterwards.  On an exception the current
+    files are left in place (nothing deletes a possible restart point
+    on a failure path).  Pinned equal to the default on real data by
+    tests/test_dedup_cap.py.
 
     Pinned by tests/test_dedup_cap.py: on a 40-node chain plain
     propagation raises at max_iters=8 while pointer jumping converges,
@@ -445,6 +484,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     free_labels = labels.unpersist  # releases the CURRENT labels frame
     free_pending = _noop            # current sweep before the handover
     inter = None
+    live_ckpt: str | None = None    # reliable files backing `labels`
     try:
         converged = False
         for sweep in range(max_iters):
@@ -480,9 +520,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             # the cadence points; between them, persist WITHOUT
             # truncation so a lost block recomputes from the last
             # reliable checkpoint (plan growth bounded by the cadence).
+            new_ckpt = None
             if reliable_checkpoint and (sweep + 1) % checkpoint_every == 0:
                 new_labels = prop.checkpoint(eager=True)
-                free_new = _noop  # files belong to the context cleaner
+                new_ckpt = _reliable_ckpt_file(new_labels)
+                free_new = _noop  # block storage; the FILES are freed
+                #                   below, once this cadence supersedes
+                #                   the previous one
             elif reliable_checkpoint:
                 new_labels = prop.persist()
                 free_new = new_labels.unpersist
@@ -503,6 +547,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             free_labels()
             labels, free_labels = new_labels, free_new
             free_pending = _noop
+            if new_ckpt is not None:
+                # every live frame now bottoms out at the NEW cadence
+                # checkpoint (the changed-count — the last reader of
+                # the old lineage — is consumed), so the previous
+                # cadence's files are dead: delete them instead of
+                # stranding one label-table copy per cadence point
+                if live_ckpt is not None:
+                    _delete_ckpt_files(spark, live_ckpt)
+                live_ckpt = new_ckpt
             if changed == 0:
                 converged = True
                 break
@@ -521,8 +574,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
         # Reliable mode returns a reliable checkpoint for the same
         # fault-tolerance contract as the sweeps.
         final = labels.select("doc_id", F.col("label").alias("group_id"))
-        return (final.checkpoint(eager=True) if reliable_checkpoint
-                else final.localCheckpoint(eager=True))
+        if reliable_checkpoint:
+            out = final.checkpoint(eager=True)
+            # the returned frame's OWN files stay (the caller reads
+            # them); the last cadence checkpoint is now superseded
+            if live_ckpt is not None:
+                _delete_ckpt_files(spark, live_ckpt)
+            return out
+        return final.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
         if inter is not None:  # a sweep aborted between persist and release

@@ -265,6 +265,11 @@ def test_reliable_checkpoint_matches_default(spark, path_chain_dir, tmp_path):
 
     written = list(pathlib.Path(ckdir).rglob("rdd-*"))
     assert written, "reliable mode must write rdd checkpoint dirs"
+    # round-5 review fix: superseded cadence checkpoints are deleted as
+    # each new one materializes — ONLY the returned frame's files may
+    # remain (the chain corpus runs ≥ 2 cadence points at every=3, so
+    # without the cleanup this would be ≥ 3 dirs)
+    assert len(written) == 1, written
 
 
 def test_pointer_jumping_matches_default_on_real_data(spark):

@@ -165,3 +165,43 @@ def test_mixed_corpus_end_to_end(spark):
         else:
             assert r["width"] is None and r["sha256"] is not None
     assert n_img > 100
+
+
+def test_null_text_parity_features_and_frames(spark, tmp_path):
+    """NULL-text documents (NULL html payload — F.concat semantics) must
+    hash-match the DuckDB oracle in BOTH graded multimodal rows: the
+    features row surfaces the NULL-payload doc as sentinel values
+    ('' / -1 / 0 bytes) in both engines, and the frames row SKIPS it in
+    both engines (round-5 review fix: the oracle previously emitted
+    'html'/NULL columns for a row the kernel reported as all-NULL, and
+    four NULL frame rows the kernel never produced)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+    from test_textstats_edge import _compare
+
+    rows = [
+        (0, "hello world " * 10),   # html branch
+        (1, None),                  # features: BMP branch (text unused)
+        (2, None),                  # features: PNG branch (text unused)
+        (3, None),                  # html branch, NULL payload
+        (4, ""),                    # html branch, empty text
+        (7, None),                  # html branch, NULL payload
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    _compare(spark, str(tmp_path),
+             em.multimodal_features(spark, str(tmp_path)),
+             em.multimodal_features_sql())
+    frames = em.multimodal_frames(spark, str(tmp_path))
+    # frames wraps text as HTML for EVERY doc_id (no image synthesis),
+    # so every NULL-text doc is skipped — in both engines
+    assert {r["url"].rsplit("/", 1)[1] for r in frames.select("url").collect()} \
+        == {"0", "4"}
+    _compare(spark, str(tmp_path), frames, em.multimodal_frames_sql())
