@@ -109,3 +109,65 @@ def test_span_stats_fold_matches_standalone(spark):
     legacy = sorted(stats[d] for d in stats)
     assert legacy == _duck("/root/testdata/sf0.001",
                            dedup.duplicate_span_stats_sql(with_trim=False))
+
+
+def _trim_reference(docs: dict[int, str], k: int = 8):
+    """Independent pure-Python model of the trim semantics: a window is
+    duplicated iff its k-token text occurs in ≥ 2 DISTINCT docs; every
+    token covered by any duplicated window in a doc is removed."""
+    toks = {d: (t if t is not None else "").split(" ") for d, t in docs.items()}
+    where = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            where.setdefault(" ".join(ts[i:i + k]), set()).add(d)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    out = {}
+    for d, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - k + 1):
+            if " ".join(ts[i:i + k]) in dup:
+                cov.update(range(i, i + k))
+        kept = [t for i, t in enumerate(ts) if i not in cov]
+        trimmed = " ".join(kept)
+        out[d] = (len(ts), len(kept), len(trimmed),
+                  hashlib.md5(trimmed.encode()).hexdigest())
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 13])
+def test_trim_fuzz_vs_python_reference(spark, tmp_path, seed):
+    """Randomized semantic fuzz: Spark (and the DuckDB twin) must match
+    an INDEPENDENT Python implementation — catches a shared
+    misconception between the two SQL texts that parity alone cannot."""
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(60)]
+    docs = {}
+    snippets = [" ".join(rng.choice(words) for _ in range(rng.randrange(8, 14)))
+                for _ in range(6)]
+    for d in range(80):
+        kind = rng.randrange(5)
+        if kind == 0:
+            docs[d] = None if rng.random() < 0.5 else ""
+        elif kind == 1:
+            docs[d] = " ".join(rng.choice(words)
+                               for _ in range(rng.randrange(1, 8)))
+        else:
+            parts = [" ".join(rng.choice(words)
+                              for _ in range(rng.randrange(0, 10)))]
+            for _ in range(rng.randrange(0, 3)):
+                parts.append(rng.choice(snippets))
+                parts.append(" ".join(rng.choice(words)
+                                      for _ in range(rng.randrange(0, 6))))
+            docs[d] = " ".join(p for p in parts if p)
+    path = _write(tmp_path, sorted(docs.items()))
+
+    want = _trim_reference(docs)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"],
+                         r["trimmed_len"], r["trimmed_digest"])
+           for r in dedup.trim_duplicate_spans(spark, path).collect()}
+    assert got == want
+    assert sorted((d, *v) for d, v in got.items()) \
+        == _duck(path, dedup.trim_duplicate_spans_sql())
+    assert any(v[1] < v[0] for v in got.values())  # fuzz planted real dups
