@@ -227,7 +227,10 @@ def multimodal_features_sql() -> str:
                    || '</title></head><body><article><p>' || text
                    || '</p></article></body></html>' AS payload
           FROM documents WHERE doc_id % 4 NOT IN (1, 2)),
-        hashed AS (SELECT url, payload, sha256(payload) AS h FROM pages),
+        hashed AS (SELECT url, payload,
+                          CASE WHEN payload IS NULL OR length(payload) = 0
+                               THEN NULL ELSE sha256(payload) END AS h
+                   FROM pages),
         img AS (
           SELECT doc_id,
                  'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -264,7 +267,7 @@ def multimodal_features_sql() -> str:
                  AS n_bytes,
                COALESCE(lower(hex(encode(substr(payload, 1, 4)))), '')
                  AS magic,
-               CASE WHEN payload IS NULL THEN '' ELSE 'html' END
+               CASE WHEN h IS NULL THEN '' ELSE 'html' END
                  AS media_kind,
                COALESCE(h, '') AS sha256,
                CAST(CASE WHEN h IS NULL THEN -1

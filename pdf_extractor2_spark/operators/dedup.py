@@ -67,6 +67,13 @@ _SID_SQL = (
 # split(text) inside the transform lambda re-splits per position —
 # O(tokens²) per document, measured 3-4x the whole query's runtime
 _TOKS_EXPR = "split(text, ' ')"
+# the NULL-coalesced twin pair (one source — CLAUDE.md shared-fragment
+# rule): per-doc span operators tokenize through these, mirroring
+# textstats._docs_nn/_BASE_SQL
+_TOKS_NN_EXPR = "split(coalesce(text, ''), ' ')"
+_TOKS_NN_SQL = (
+    "SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM {table}"
+)
 _SHINGLE_EXPR = (
     "case when size(toks) < 3 then array()"
     " else array_distinct(transform(sequence(0, size(toks) - 3),"
@@ -887,42 +894,61 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8,
 
     Round 5 (``with_trim``, default): the row also carries the REMOVAL
     columns from ``trim_duplicate_spans`` — n_tokens / n_kept_tokens /
-    trimmed_len / trimmed_digest — computed off the SAME persisted
-    (doc_id, toks) base, so the graded row proves both the report and
-    the exact cleaned text in one plan.
+    trimmed_len / trimmed_digest — and BOTH families derive from ONE
+    positional window stream off one persisted base (review finding:
+    the first fold exploded + hashed every window twice); the stats
+    columns are then distinct-sid aggregates over that stream, provably
+    the same values (n_spans = # distinct window texts per doc, dup
+    gate = window text in ≥ 2 docs), pinned equal to the legacy
+    ``with_trim=False`` computation by tests/test_trim_spans.py.
 
-    Plan: ONE persisted base scan feeds the doc_id universe and the
-    (doc_id, window-hash) stream; the stream feeds its three consumers
-    (per-window df count — partial-aggregable, skew-safe; the per-doc
-    totals; the join back against duplicated windows).  The join
-    streams hot windows through a hash join — no posting-list arrays
-    materialize anywhere, so there is nothing for a boilerplate window
-    to OOM."""
-    _scoped_clear()
-    base = _scoped_persist(
-        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
-        .select(
-            "doc_id", F.expr("split(coalesce(text, ''), ' ')").alias("toks")
+    Plan: ONE persisted base scan feeds the doc_id universe, the token
+    stream, and the (doc_id, pos, window-key) stream; the stream feeds
+    every consumer (per-window doc count — partial-aggregable,
+    skew-safe; the per-doc distinct totals; the coverage join back).
+    The joins stream hot windows through hash joins — no posting-list
+    arrays materialize anywhere, so there is nothing for a boilerplate
+    window to OOM."""
+    if not with_trim:
+        _scoped_clear()
+        base = _scoped_persist(
+            _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+            .select("doc_id", F.expr(_TOKS_NN_EXPR).alias("toks"))
         )
-    )
-    raw = _scoped_persist(
-        base.select("doc_id", F.explode(F.expr(_kgram_spark(k))).alias("shingle"))
-        .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
-    )
-    dup_sids = (
-        raw.groupBy("sid")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= 2)
-        .select("sid")
-    )
-    per_doc = raw.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        raw = _scoped_persist(
+            base.select("doc_id", F.explode(F.expr(_kgram_spark(k))).alias("shingle"))
+            .select("doc_id", F.expr(_SID_EXPR).alias("sid"))
+        )
+        dup_sids = (
+            raw.groupBy("sid")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") >= 2)
+            .select("sid")
+        )
+        per_doc = raw.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+        dup_per_doc = (
+            raw.join(dup_sids, "sid")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_dup_spans"))
+        )
+        return _span_stats_assemble(base, per_doc, dup_per_doc)
+
+    base, wins, dup_sids = _span_streams(spark, sf_dir, k)
+    docsid = wins.select("doc_id", "sid").distinct()
+    per_doc = docsid.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
     dup_per_doc = (
-        raw.join(dup_sids, "sid")
+        docsid.join(dup_sids, "sid")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_spans"))
     )
+    stats = _span_stats_assemble(base, per_doc, dup_per_doc)
+    return stats.join(_trim_from(base, wins, dup_sids, k), "doc_id")
+
+
+def _span_stats_assemble(base: DataFrame, per_doc: DataFrame,
+                         dup_per_doc: DataFrame) -> DataFrame:
     frac = round_half_up_expr("CAST(n_dup_spans AS DOUBLE) / n_spans", 6)
-    stats = (
+    return (
         base.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .join(dup_per_doc, "doc_id", "left")
@@ -936,15 +962,10 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str, k: int = 8,
             F.expr(f"case when n_spans = 0 then CAST(0 AS DOUBLE) else {frac} end"),
         )
     )
-    if not with_trim:
-        return stats
-    return stats.join(
-        trim_duplicate_spans(spark, sf_dir, k, _base=base), "doc_id"
-    )
 
 
-def trim_duplicate_spans(spark: SparkSession, sf_dir: str, k: int = 8,
-                         _base: DataFrame | None = None) -> DataFrame:
+def trim_duplicate_spans(spark: SparkSession, sf_dir: str,
+                         k: int = 8) -> DataFrame:
     """Substring-level dedup REMOVAL — the operation `duplicate_span_
     stats` only reports (Lee et al.'s "Deduplicating Training Data
     Makes Language Models Better", the suffix-array substring dedup):
@@ -966,28 +987,40 @@ def trim_duplicate_spans(spark: SparkSession, sf_dir: str, k: int = 8,
     positions explode ×k off the streamed join; the cleaned text is
     rebuilt per document from a sorted (pos, token) collect — bounded
     by single-document length, the same row-size envelope every other
-    per-doc operator already assumes."""
-    if _base is None:
-        _scoped_clear()
-        base = _scoped_persist(
-            _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
-            .select(
-                "doc_id",
-                F.expr("split(coalesce(text, ''), ' ')").alias("toks"),
-            )
-        )
-    else:
-        base = _base
+    per-doc operator already assumes.
+
+    The window key is ``md5(window text)`` — NOT the 56-bit rolling
+    sid the report-only operators use (review finding: removal mutates
+    the deliverable corpus, and at 10^12 windows a 2^56 space makes
+    birthday collisions — silently deleting UNIQUE text — statistically
+    certain, where 2^128 keeps them at ~1e-14)."""
+    base, wins, dup_sids = _span_streams(spark, sf_dir, k)
+    return _trim_from(base, wins, dup_sids, k)
+
+
+def _span_streams(spark: SparkSession, sf_dir: str, k: int):
+    """The shared span plumbing: persisted NULL-coalesced (doc_id,
+    toks) base; persisted positional window stream (doc_id, pos,
+    sid=md5(window text)); and the collision-safe duplicated-key set
+    (window text occurring in ≥ 2 distinct docs — a two-level
+    (sid, doc) → sid aggregate, partial-aggregable, hot-gram-safe)."""
+    _scoped_clear()
+    base = _scoped_persist(
+        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS_NN_EXPR).alias("toks"))
+    )
     elems = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
     pos_wins = (
         f"case when size(toks) < {k} then array()"
         f" else transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> struct(i AS pos, concat_ws(' ', {elems}) AS shingle)) end"
+        f" i -> struct(i AS pos, concat_ws(' ', {elems}) AS g)) end"
     )
     wins = _scoped_persist(
         base.select("doc_id", F.explode(F.expr(pos_wins)).alias("w"))
-        .select("doc_id", "w.pos", F.col("w.shingle").alias("shingle"))
-        .select("doc_id", "pos", F.expr(_SID_EXPR).alias("sid"))
+        .select(
+            "doc_id", "w.pos",
+            F.expr("md5(cast(w.g as binary))").alias("sid"),
+        )
     )
     dup_sids = (
         wins.select("doc_id", "sid").distinct()
@@ -995,6 +1028,11 @@ def trim_duplicate_spans(spark: SparkSession, sf_dir: str, k: int = 8,
         .where(F.col("ndocs") >= 2)
         .select("sid")
     )
+    return base, wins, dup_sids
+
+
+def _trim_from(base: DataFrame, wins: DataFrame, dup_sids: DataFrame,
+               k: int) -> DataFrame:
     covered = (
         wins.join(dup_sids, "sid")
         .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("cov"))
@@ -1038,18 +1076,16 @@ def trim_duplicate_spans(spark: SparkSession, sf_dir: str, k: int = 8,
     )
 
 
-_TOKS_NN_SQL = (
-    "SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM {table}"
-)
-
-
 def _trim_sql_ctes(k: int) -> str:
     """The trim pipeline as a WITH-list fragment over an existing CTE
     ``toks(doc_id, t)``; names tw_-prefixed so it composes with the
     span-stats CTEs; ends with ``trim_doc(doc_id, n_tokens,
     n_kept_tokens, trimmed_len, trimmed_digest)``.  SINGLE source —
     embedded by both ``trim_duplicate_spans_sql`` and
-    ``duplicate_span_stats_sql``."""
+    ``duplicate_span_stats_sql`` (whose fold also derives its stats
+    columns from ``tw_ds``/``tw_dup``, mirroring the shared Spark
+    stream).  Window key = md5(window text) — collision-safe for the
+    removal path (see ``trim_duplicate_spans``)."""
     elems = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
     return f"""
         tw_wins AS (SELECT doc_id,
@@ -1057,10 +1093,10 @@ def _trim_sql_ctes(k: int) -> str:
                                    for i in generate_series(1, len(t) - {k - 1})]) AS w
                     FROM toks),
         tw_ids AS (SELECT doc_id, struct_extract(w, 'p') AS pos,
-                          {_SID_SQL.replace("shingle", "struct_extract(w, 'g')")} AS sid
+                          md5(struct_extract(w, 'g')) AS sid
                    FROM tw_wins),
-        tw_dup AS (SELECT sid FROM (SELECT DISTINCT sid, doc_id FROM tw_ids)
-                   GROUP BY sid HAVING COUNT(*) >= 2),
+        tw_ds AS (SELECT DISTINCT doc_id, sid FROM tw_ids),
+        tw_dup AS (SELECT sid FROM tw_ds GROUP BY sid HAVING COUNT(*) >= 2),
         tw_cov AS (SELECT DISTINCT doc_id, pos + j AS cov
                    FROM tw_ids JOIN tw_dup USING (sid)
                    CROSS JOIN generate_series(0, {k - 1}) g(j)),
@@ -1121,10 +1157,25 @@ def duplicate_span_stats_sql(table: str = "documents", k: int = 8,
         {stats_ctes}
         SELECT doc_id, n_spans, n_dup_spans, dup_span_frac FROM span_doc
     """
+    # the fold's stats columns derive from the SAME window stream as the
+    # trim (tw_ds / tw_dup), mirroring the shared Spark plan
     return f"""
         WITH toks AS ({_TOKS_NN_SQL.format(table=table)}),
-        {stats_ctes},
-        {_trim_sql_ctes(k)}
+        {_trim_sql_ctes(k)},
+        sp_per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+                   FROM tw_ds GROUP BY 1),
+        sp_dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+                   FROM tw_ds JOIN tw_dup USING (sid) GROUP BY 1),
+        span_doc AS (
+          SELECT doc_id, n_spans, n_dup_spans,
+                 CASE WHEN n_spans = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE {frac} END AS dup_span_frac
+          FROM (SELECT b.doc_id,
+                       COALESCE(p.n_spans, 0) AS n_spans,
+                       COALESCE(d.n_dup_spans, 0) AS n_dup_spans
+                FROM (SELECT doc_id FROM toks) b
+                LEFT JOIN sp_per p USING (doc_id)
+                LEFT JOIN sp_dup d USING (doc_id)))
         SELECT s.doc_id, s.n_spans, s.n_dup_spans, s.dup_span_frac,
                w.n_tokens, w.n_kept_tokens, w.trimmed_len, w.trimmed_digest
         FROM span_doc s JOIN trim_doc w USING (doc_id)
