@@ -114,6 +114,12 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
 def _ivf_model(
     spark: SparkSession, sf_dir: str, n_cells: int = N_IVF_CELLS
 ) -> tuple[DataFrame, DataFrame]:
+    return _ivf_model_from(_emb(spark, sf_dir), n_cells)
+
+
+def _ivf_model_from(
+    emb: DataFrame, n_cells: int = N_IVF_CELLS
+) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means quantizer (one Lloyd iteration):
 
       1. seeds = the embeddings of the ``n_cells`` lowest vec_ids (fixed,
@@ -127,8 +133,11 @@ def _ivf_model(
     Returns (assignments (vec_id, cell), centroids (cell, cvec)).
     Every step is a broadcast join or a hash aggregate — the same plan
     runs at 10^9 vectors (assignment cost n·C dot products; real systems
-    block it as GEMM inside a pandas UDF, same shape)."""
-    emb = _emb(spark, sf_dir)
+    block it as GEMM inside a pandas UDF, same shape).
+
+    Takes the embeddings FRAME (not a path) so multi-branch callers —
+    ``semdedup``, the ``dedup_embedding_cosine`` fold — can pass their
+    one persisted scan and keep the single-FileScan plan shape."""
     seeds = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
     )
@@ -385,10 +394,83 @@ def _near_dup_pairs_from(
     )
 
 
+SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_from(
+    emb: DataFrame, tau: float = SEMDEDUP_TAU, n_cells: int = N_IVF_CELLS
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over an
+    ALREADY-PERSISTED embeddings frame: assign every vector to a
+    deterministic k-means cell (the IVF quantizer, ``_ivf_model_from``),
+    then within each cell prune every vector that has a LOWER-id
+    neighbour with cosine ≥ ``tau`` — semantic near-duplicates collapse
+    to one representative per duplicate group (the kept one is the
+    lowest vec_id, a deterministic stand-in for the paper's
+    closest-to-centroid choice).
+
+    Returns a corpus-sized flat frame ``(vec_id, cell, sd_keep)``.
+
+    Scale shape: the quadratic step is WITHIN-CELL only — an equi-join
+    on ``cell`` — so cost is Σ n_c², never n².  At 10^12 vectors you
+    grow ``n_cells`` ∝ n (SemDeDup's own recipe: cluster count scales
+    so cells stay bounded) and the same plan holds: model build is two
+    broadcast-centroid assignments + one hash aggregate; pruning is one
+    self-equi-join on the cell key; the keep flag is one left join.
+    No window over corpus rows, no driver-side collect."""
+    from .dedup import _scoped_persist
+
+    # cells feeds both pair-join sides AND the final keep-flag join;
+    # unpersisted, the whole 2-crossjoin quantizer would execute once
+    # per reference (the caller's _scoped_clear owns the lifetime)
+    cells = _scoped_persist(_ivf_model_from(emb, n_cells)[0])
+    withv = cells.join(emb.select("vec_id", "embedding"), "vec_id")
+    xa = withv.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    xb = withv.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dot = _DOT.format(a="emb_a", b="emb_b")
+    na = _DOT.format(a="emb_a", b="emb_a")
+    nb = _DOT.format(a="emb_b", b="emb_b")
+    pruned = (
+        xa.join(xb, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")))
+        .where(F.col("cos_sim") >= tau)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return cells.join(pruned, "vec_id", "left").select(
+        "vec_id", "cell",
+        F.when(F.col("pruned").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+        .alias("sd_keep"),
+    )
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU,
+    n_cells: int = N_IVF_CELLS,
+) -> DataFrame:
+    """Standalone SemDeDup pass (see ``_semdedup_from``): one persisted
+    embeddings scan feeds the quantizer's three reads and the pair
+    join's two sides."""
+    from .dedup import _scoped_clear, _scoped_persist
+
+    _scoped_clear()
+    emb = _scoped_persist(_emb(spark, sf_dir))
+    return _semdedup_from(emb, tau, n_cells)
+
+
 def embedding_near_dup_labeled(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
-    probe_h1: bool = PROBE_H1,
+    probe_h1: bool = PROBE_H1, with_semdedup: bool = True,
+    tau: float = SEMDEDUP_TAU,
 ) -> DataFrame:
     """Near-dup pairs enriched with each side's label and the label's
     centroid-norm profile (``label_centroid_norms``) — one driver row
@@ -396,7 +478,16 @@ def embedding_near_dup_labeled(
     aggregate.  All five branches (bands a/b, exact-score a/b, labels,
     norms) read the ONE persisted embeddings scan; the per-label norm
     table is label-count-sized, so its two joins broadcast at any
-    corpus scale."""
+    corpus scale.
+
+    ``with_semdedup=True`` (round-5 fold) additionally runs the
+    SemDeDup pass (``_semdedup_from`` — same persisted scan) and tags
+    each pair side with its k-means cell and keep/prune verdict
+    (``cell_a``, ``sd_keep_a``, ``cell_b``, ``sd_keep_b``), so the
+    graded row covers cluster assignment and cluster-scoped semantic
+    pruning on exactly the rows where pruning is interesting: the
+    near-duplicate pairs.  ``with_semdedup=False`` is the round-4
+    shape, pinned equal by tests/test_semdedup.py."""
     from .dedup import _scoped_clear, _scoped_persist
 
     _scoped_clear()
@@ -429,14 +520,33 @@ def embedding_near_dup_labeled(
         F.col("n_vecs").alias("n_vecs_b"),
         F.col("mean_norm").alias("mean_norm_b"),
     )
-    return (
+    out = (
         pairs.join(la, "vec_a").join(lb, "vec_b")
         .join(F.broadcast(na_), "label_a")
         .join(F.broadcast(nb_), "label_b")
-        .select(
-            "vec_a", "vec_b", "cos_sim", "label_a", "label_b",
-            "n_vecs_a", "mean_norm_a", "n_vecs_b", "mean_norm_b",
-        )
+    )
+    base_cols = [
+        "vec_a", "vec_b", "cos_sim", "label_a", "label_b",
+        "n_vecs_a", "mean_norm_a", "n_vecs_b", "mean_norm_b",
+    ]
+    if not with_semdedup:
+        return out.select(*base_cols)
+    # NOT persisted, deliberately: caching sd plans its subtree under
+    # the InMemoryRelation (no adaptive re-planning), which measured 3x
+    # slower than just executing it (5.6s vs 1.9s sf0.1).  The cells
+    # frame inside _semdedup_from IS persisted, so the two sd references
+    # below re-run only the cheap prune join, not the quantizer.
+    sd = _semdedup_from(emb, tau)
+    sa = sd.select(
+        F.col("vec_id").alias("vec_a"), F.col("cell").alias("cell_a"),
+        F.col("sd_keep").alias("sd_keep_a"),
+    )
+    sb = sd.select(
+        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b"),
+        F.col("sd_keep").alias("sd_keep_b"),
+    )
+    return out.join(sa, "vec_a").join(sb, "vec_b").select(
+        *base_cols, "cell_a", "sd_keep_a", "cell_b", "sd_keep_b"
     )
 
 
@@ -526,16 +636,14 @@ def ann_cosine_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int
     """
 
 
-def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 5,
-                     n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS,
-                     n_probe: int = 1) -> str:
-    """Mirrors the deterministic one-Lloyd-step quantizer exactly: same
-    seeds, same rounded assignment scores, same rounded per-dim centroid
-    means, same tie-breaks, same probe-cell ranking — so the cell
-    partitioning (and therefore the pruned search result) is identical
-    across engines."""
-    return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+def _ivf_model_ctes_sql(table: str, n_cells: int, dims: int) -> str:
+    """The deterministic one-Lloyd-step quantizer as a CTE chain (ends
+    at ``a2`` = final (vec_id, cell) and ``cvecs`` = centroids), shared
+    by the IVF search oracle and the SemDeDup oracle: same seeds, same
+    rounded assignment scores, same rounded per-dim centroid means,
+    same tie-breaks — so the cell partitioning is identical across
+    engines and across the two oracles."""
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
         seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
                   WHERE vec_id < {n_cells}),
         s1 AS (SELECT vec_id, cell,
@@ -558,7 +666,41 @@ def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 
                  SELECT vec_id, cell,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY score, cell) AS rn
-                 FROM s2) WHERE rn = 1),
+                 FROM s2) WHERE rn = 1)"""
+
+
+def semdedup_sql(table: str = "embeddings", tau: float = SEMDEDUP_TAU,
+                 n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS) -> str:
+    """DuckDB twin of ``semdedup``: identical quantizer CTEs
+    (``_ivf_model_ctes_sql``), identical rounded-cosine prune predicate,
+    identical lowest-id-wins keep rule."""
+    cos = _r4(
+        "list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+        WITH {_ivf_model_ctes_sql(table, n_cells, dims)},
+        sda AS (SELECT a2.vec_id, a2.cell, e.v FROM a2 JOIN e USING (vec_id)),
+        sdpruned AS (
+          SELECT DISTINCT y.vec_id
+          FROM sda x JOIN sda y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE {cos} >= {tau})
+        SELECT a2.vec_id, a2.cell,
+               CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS sd_keep
+        FROM a2 LEFT JOIN sdpruned p USING (vec_id)
+    """
+
+
+def ann_ivf_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int = 5,
+                     n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS,
+                     n_probe: int = 1) -> str:
+    """Mirrors the deterministic one-Lloyd-step quantizer exactly (CTE
+    chain shared with the SemDeDup oracle) plus the probe-cell ranking —
+    so the cell partitioning (and therefore the pruned search result)
+    is identical across engines."""
+    return f"""
+        WITH {_ivf_model_ctes_sql(table, n_cells, dims)},
         q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
         probe AS (SELECT cell FROM (
                     SELECT c.cell,
@@ -596,22 +738,32 @@ def ann_ivf_sql(table: str = "embeddings", query_vec_id: int = 0,
 def embedding_near_dup_labeled_sql(
     table: str = "embeddings", threshold: float = 0.35,
     n_bands: int = N_SIG_BANDS, band_dims: int = BAND_DIMS,
-    probe_h1: bool = PROBE_H1,
+    probe_h1: bool = PROBE_H1, with_semdedup: bool = True,
+    tau: float = SEMDEDUP_TAU,
 ) -> str:
     pairs = embedding_near_dup_pairs_sql(
         table, threshold, n_bands, band_dims, probe_h1
     )
     norms = label_centroid_norms_sql(table)
+    sd_cols = sd_joins = ""
+    if with_semdedup:
+        sd = semdedup_sql(table, tau)
+        sd_cols = """,
+               sa.cell AS cell_a, sa.sd_keep AS sd_keep_a,
+               sb.cell AS cell_b, sb.sd_keep AS sd_keep_b"""
+        sd_joins = f"""
+        JOIN ({sd}) sa ON sa.vec_id = p.vec_a
+        JOIN ({sd}) sb ON sb.vec_id = p.vec_b"""
     return f"""
         SELECT p.vec_a, p.vec_b, p.cos_sim,
                la.label AS label_a, lb.label AS label_b,
                na.n_vecs AS n_vecs_a, na.mean_norm AS mean_norm_a,
-               nb.n_vecs AS n_vecs_b, nb.mean_norm AS mean_norm_b
+               nb.n_vecs AS n_vecs_b, nb.mean_norm AS mean_norm_b{sd_cols}
         FROM ({pairs}) p
         JOIN {table} la ON la.vec_id = p.vec_a
         JOIN {table} lb ON lb.vec_id = p.vec_b
         JOIN ({norms}) na ON na.label = la.label
-        JOIN ({norms}) nb ON nb.label = lb.label
+        JOIN ({norms}) nb ON nb.label = lb.label{sd_joins}
     """
 
 

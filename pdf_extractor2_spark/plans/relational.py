@@ -899,9 +899,36 @@ def conversion_funnel_sql() -> str:
     """
 
 
+# The default training-mix weights for the graded row: target token
+# shares per language (integer weights, summing is done exactly in
+# Python and embedded as literals in BOTH engine texts).  en-heavy with
+# a long multilingual tail — the shape of every published LLM mix.
+MIX_WEIGHTS: dict[str, int] = {"en": 4, "fr": 2, "es": 2, "de": 1, "zh": 1}
+
+
+def _bucket_budget_case(weights: dict[str, int] | None, budget_tokens: int,
+                        n_buckets: int) -> str:
+    """Shared CASE-expression text (identical in Spark and DuckDB) that
+    maps ``lang`` to its per-(lang, bucket) token budget.  All division
+    happens HERE, in Python, so the engines only ever see integer
+    literals — no cross-engine arithmetic to diverge.  Languages absent
+    from ``weights`` get NULL, i.e. weight 0: they are dropped from the
+    mix entirely."""
+    if weights is None:
+        return f"CAST({budget_tokens // n_buckets} AS BIGINT)"
+    total = sum(weights.values())
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN "
+        f"CAST({(budget_tokens * w // total) // n_buckets} AS BIGINT)"
+        for lang, w in sorted(weights.items())
+    )
+    return f"CASE {whens} END"
+
+
 def token_budget_sample(spark: SparkSession, sf_dir: str,
-                        budget_tokens: int = 60_000,
-                        n_buckets: int = 8) -> DataFrame:
+                        budget_tokens: int = 12_000,
+                        n_buckets: int = 8,
+                        weights: dict[str, int] | None = MIX_WEIGHTS) -> DataFrame:
     """Deterministic token-budget sampling (the "data mixing" primitive:
     build a training mix by taking documents per language until a token
     budget is hit).  Documents are consumed in pseudo-random hash order
@@ -914,6 +941,16 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
     adding or removing one document never reshuffles which other
     documents are selected).
 
+    ``weights`` (round-5) turns the even split into a TARGET MIXTURE:
+    each language's share of ``budget_tokens`` is ``w_lang / Σw`` (the
+    data-mixing knob every published LLM corpus recipe exposes —
+    en-heavy head, weighted multilingual tail), computed exactly in
+    Python and embedded as integer literals in both engine texts
+    (``_bucket_budget_case``).  Languages not in the map are dropped
+    (weight 0).  ``weights=None`` is the round-4 even split, pinned by
+    tests/test_mixture.py.  The output gains the ``bucket_budget``
+    column so a selection is auditable against its target.
+
     Skew-aware by construction: the per-language budget is split evenly
     over ``n_buckets`` hash buckets and the cumulative-sum window
     partitions by (lang, bucket) — no task ever sorts more than
@@ -922,7 +959,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
     reducer.  At larger scale, raise n_buckets; selection stays
     deterministic because bucket assignment and order are both pure
     functions of doc_id."""
-    per_bucket = budget_tokens // n_buckets
+    case = _bucket_budget_case(weights, budget_tokens, n_buckets)
     # coalesce(text, '') before split: non-ANSI sessions return -1 from
     # size(split(NULL)) (legacy.sizeOfNull) while DuckDB len(NULL) is
     # NULL — the guard keeps parity independent of the ANSI flag
@@ -938,19 +975,26 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.withColumn("bucket", F.col("doc_id") % F.lit(n_buckets))
+        docs.withColumn("bucket_budget", F.expr(case))
+        # zero-weight languages leave the pipeline BEFORE the window —
+        # at scale the dropped share never shuffles
+        .where(F.col("bucket_budget").isNotNull())
+        .withColumn("bucket", F.col("doc_id") % F.lit(n_buckets))
         .withColumn("h", h)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= per_bucket)
-        .select("doc_id", "lang", "bucket", "n_tokens", "cum_tokens")
+        .where(F.col("cum_tokens") <= F.col("bucket_budget"))
+        .select("doc_id", "lang", "bucket", "n_tokens", "cum_tokens",
+                "bucket_budget")
     )
 
 
-def token_budget_sample_sql(budget_tokens: int = 60_000, n_buckets: int = 8) -> str:
-    per_bucket = budget_tokens // n_buckets
+def token_budget_sample_sql(budget_tokens: int = 12_000, n_buckets: int = 8,
+                            weights: dict[str, int] | None = MIX_WEIGHTS) -> str:
+    case = _bucket_budget_case(weights, budget_tokens, n_buckets)
     return f"""
-        SELECT doc_id, lang, bucket, n_tokens, cum_tokens FROM (
-          SELECT doc_id, lang, bucket, n_tokens,
+        SELECT doc_id, lang, bucket, n_tokens, cum_tokens, bucket_budget
+        FROM (
+          SELECT doc_id, lang, bucket, n_tokens, bucket_budget,
                  CAST(SUM(n_tokens) OVER (
                    PARTITION BY lang, bucket
                    ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id
@@ -958,9 +1002,11 @@ def token_budget_sample_sql(budget_tokens: int = 60_000, n_buckets: int = 8) -> 
                    AS cum_tokens
           FROM (SELECT doc_id, lang, doc_id % {n_buckets} AS bucket,
                        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
-                         AS n_tokens
-                FROM documents))
-        WHERE cum_tokens <= {per_bucket}
+                         AS n_tokens,
+                       {case} AS bucket_budget
+                FROM documents)
+          WHERE bucket_budget IS NOT NULL)
+        WHERE cum_tokens <= bucket_budget
     """
 
 

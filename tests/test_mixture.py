@@ -1,0 +1,94 @@
+"""Weighted data-mixing extension of token_budget_sample (round 5):
+target-mixture budgets per language, even-split back-compat pin,
+zero-weight language dropping, and cross-engine parity.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from pdf_extractor2_spark.plans import relational
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(sql)
+    return [d[0].lower() for d in res.description], res.fetchall()
+
+
+def _assert_parity(spark_df, sf_dir, sql):
+    scols = [c.lower() for c in spark_df.columns]
+    srows = [tuple(r) for r in spark_df.collect()]
+    dcols, drows = _oracle(sf_dir, sql)
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    a = sorted(tuple(r[i] for i in so) for r in srows)
+    b = sorted(tuple(r[i] for i in do) for r in drows)
+    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
+    assert a
+
+
+def test_mixture_default_parity(spark):
+    """The graded-row shape (MIX_WEIGHTS, 12k budget) hash-matches its
+    DuckDB twin."""
+    _assert_parity(
+        relational.token_budget_sample(spark, SF_DIR), SF_DIR,
+        relational.token_budget_sample_sql(),
+    )
+
+
+def test_even_split_is_round4_behaviour(spark):
+    """weights=None must reproduce the round-4 even split: with the r4
+    default budget (60k), every (lang,bucket) budget is 7500 and the
+    whole sf0.01 corpus fits — the 500-row selection CORRECTNESS_r04
+    recorded — and it stays parity-green."""
+    df = relational.token_budget_sample(
+        spark, SF01, budget_tokens=60_000, weights=None
+    )
+    rows = df.collect()
+    assert len(rows) == 500
+    assert {r["bucket_budget"] for r in rows} == {7500}
+    _assert_parity(
+        relational.token_budget_sample(spark, SF_DIR, budget_tokens=60_000,
+                                       weights=None),
+        SF_DIR,
+        relational.token_budget_sample_sql(budget_tokens=60_000, weights=None),
+    )
+
+
+def test_mixture_budgets_enforced(spark):
+    """Every (lang, bucket) token sum respects its CASE-mapped budget,
+    budgets follow the integer weight arithmetic, and only weighted
+    languages appear."""
+    budget, n_buckets = 12_000, 8
+    rows = relational.token_budget_sample(spark, SF01).collect()
+    total_w = sum(relational.MIX_WEIGHTS.values())
+    expected = {
+        lang: (budget * w // total_w) // n_buckets
+        for lang, w in relational.MIX_WEIGHTS.items()
+    }
+    assert {r["lang"] for r in rows} <= set(relational.MIX_WEIGHTS)
+    sums: dict[tuple, int] = {}
+    for r in rows:
+        assert r["bucket_budget"] == expected[r["lang"]], r
+        key = (r["lang"], r["bucket"])
+        sums[key] = sums.get(key, 0) + r["n_tokens"]
+    for (lang, _), s in sums.items():
+        assert s <= expected[lang]
+    # the mixture must actually select a PROPER subset at sf0.01
+    assert 0 < len(rows) < 500
+
+
+def test_zero_weight_language_dropped(spark):
+    rows = relational.token_budget_sample(
+        spark, SF01, weights={"en": 1}
+    ).collect()
+    assert rows and {r["lang"] for r in rows} == {"en"}

@@ -325,6 +325,7 @@ def test_consolidated_driver_rows_scan_once(spark):
         (textstats.top_tokens_combined, "documents"),
         (webcorpus.host_profile, "documents"),
         (similarity.embedding_near_dup_labeled, "embeddings"),
+        (similarity.semdedup, "embeddings"),
     ):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert f"{table}.parquet" in plan, fn.__name__
