@@ -713,7 +713,8 @@ def simhash_sql(table: str = "documents") -> str:
 def training_corpus_filter(spark: SparkSession, sf_dir: str,
                            threshold: float = 0.5,
                            max_df: int = MAX_SHINGLE_DF,
-                           with_ppx: bool = True) -> DataFrame:
+                           with_ppx: bool = True,
+                           with_semdedup: bool = True) -> DataFrame:
     """The canonical pretraining data pipeline as one plan (the full
     CCNet-family composition, per VERDICT r4 next #1's closing note):
 
@@ -730,7 +731,18 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
          of the rounded score (``textstats._ppx_banded`` — a
          metadata-sized value histogram + integer-arithmetic cumulative,
          scale-robust where fixed cutoffs measurably are not), and DROP
-         the ``tail`` band (worst quartile = lowest model-fit quality).
+         the ``tail`` band (worst quartile = lowest model-fit quality);
+      5. (``with_semdedup``, round 5) SEMANTIC dedup: drop any surviving
+         document whose embedding was pruned by the SemDeDup pass
+         (``similarity._semdedup_from`` — within-k-means-cell cosine ≥ τ
+         collapses to the lowest id).  Documents without an embedding
+         row pass through (you can only semantically dedup what you
+         embedded); ``sd_cell`` records the quantizer cell, −1 for
+         unembedded docs (sentinel, not NULL — driver projections must
+         not mix None into an int column).  This completes the published
+         modern recipe end-to-end: heuristic gate → exact → near
+         (MinHash-family) → model-quality band (CCNet) → semantic
+         (SemDeDup), each stage a scale-audited plan.
 
     Output: the kept doc_ids with dedup provenance plus (when
     ``with_ppx``) their rounded ``log_ppx`` and ``ppx_band``. Every
@@ -793,30 +805,58 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     kept = exact_kept.join(near_dropped, "doc_id", "left_anti").select(
         "doc_id", "n_exact_dups"
     )
-    if not with_ppx:
-        return kept
-    # stage 4: perplexity band off the SAME persisted base (train slice
-    # = full corpus doc_id % MOD; quartiles over the FULL corpus's
-    # scores, then joined to the kept set).  scores is persisted: it
-    # feeds the band histogram (twice, via the self-join) plus the
-    # final banded projection — without the cache each would re-run
-    # the scoring aggregate
-    scores = _scoped_persist(
-        _ppx_scores(base.select("doc_id", "toks")).select("doc_id", "log_ppx")
-    )
-    return (
-        kept.join(_ppx_banded(scores), "doc_id")
-        .where(F.col("ppx_band") != "tail")
-        .select("doc_id", "n_exact_dups", "log_ppx", "ppx_band")
-    )
+    out_cols = ["doc_id", "n_exact_dups"]
+    if with_ppx:
+        # stage 4: perplexity band off the SAME persisted base (train
+        # slice = full corpus doc_id % MOD; quartiles over the FULL
+        # corpus's scores, then joined to the kept set).  scores is
+        # persisted: it feeds the band histogram (twice, via the
+        # self-join) plus the final banded projection — without the
+        # cache each would re-run the scoring aggregate
+        scores = _scoped_persist(
+            _ppx_scores(base.select("doc_id", "toks")).select("doc_id", "log_ppx")
+        )
+        kept = kept.join(_ppx_banded(scores), "doc_id").where(
+            F.col("ppx_band") != "tail"
+        )
+        out_cols += ["log_ppx", "ppx_band"]
+    if with_semdedup:
+        # stage 5: semantic dedup — ONE left join against the SemDeDup
+        # verdicts (sd referenced once, so per the round-5 lesson it is
+        # NOT persisted; only the embeddings scan underneath it is)
+        from .similarity import _emb, _semdedup_from
+
+        emb = _scoped_persist(_emb(spark, sf_dir))
+        sd = _semdedup_from(emb).select(
+            F.col("vec_id").alias("doc_id"), "cell", "sd_keep"
+        )
+        kept = (
+            kept.join(sd, "doc_id", "left")
+            .where(F.coalesce(F.col("sd_keep"), F.lit(1)) == 1)
+            .withColumn("sd_cell", F.coalesce(F.col("cell"), F.lit(-1)))
+        )
+        out_cols += ["sd_cell"]
+    return kept.select(*out_cols)
 
 
 def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
                                max_df: int = MAX_SHINGLE_DF,
-                               with_ppx: bool = True) -> str:
+                               with_ppx: bool = True,
+                               with_semdedup: bool = True,
+                               emb_table: str = "embeddings") -> str:
+    from .similarity import semdedup_sql
     from .textstats import (
         _BASE_SQL, _PPX_MEAN, _ppx_band_sql_ctes, _ppx_sql_ctes,
     )
+
+    # stage-5 fragments (semdedup_sql is a complete WITH…SELECT — DuckDB
+    # accepts it as a derived table, the committed nested-WITH idiom)
+    if with_semdedup:
+        sd_col = ", COALESCE(s.cell, -1) AS sd_cell"
+        sd_join = f"LEFT JOIN ({semdedup_sql(emb_table)}) s ON s.vec_id = k.doc_id"
+        sd_pred = "AND COALESCE(s.sd_keep, 1) = 1"
+    else:
+        sd_col = sd_join = sd_pred = ""
 
     core = f"""
         quality AS (
@@ -843,8 +883,9 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
         return f"""
         WITH base AS ({_BASE_SQL.format(table=table)}),
         {core}
-        SELECT doc_id, n_exact_dups FROM exact_kept
-        WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+        SELECT k.doc_id, k.n_exact_dups{sd_col} FROM exact_kept k
+        {sd_join}
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped) {sd_pred}
     """
     return f"""
         WITH base AS ({_BASE_SQL.format(table=table)}),
@@ -853,10 +894,11 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
         ppx AS (SELECT doc_id, {round_half_up_expr(_PPX_MEAN, 4)} AS log_ppx
                 FROM ppx_doc),
         {_ppx_band_sql_ctes("ppx")}
-        SELECT k.doc_id, k.n_exact_dups, p.log_ppx, p.ppx_band
+        SELECT k.doc_id, k.n_exact_dups, p.log_ppx, p.ppx_band{sd_col}
         FROM exact_kept k JOIN ppx_banded p ON k.doc_id = p.doc_id
+        {sd_join}
         WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
-          AND p.ppx_band <> 'tail'
+          AND p.ppx_band <> 'tail' {sd_pred}
     """
 
 

@@ -1010,6 +1010,41 @@ def token_budget_sample_sql(budget_tokens: int = 12_000, n_buckets: int = 8,
     """
 
 
+def feasible_mixture_budget(spark: SparkSession, sf_dir: str,
+                            weights: dict[str, int] | None = None,
+                            headroom_num: int = 1,
+                            headroom_den: int = 1) -> int:
+    """Largest total token budget whose weighted per-language shares are
+    all satisfiable by the corpus WITHOUT upsampling: with S = Σw, a
+    total budget T needs ``T·w/S`` tokens of each weighted language, so
+    T* = min over languages of ``avail_lang · S // w_lang`` (language
+    missing from the corpus → 0: an infeasible mixture is a loud zero,
+    not a silently reshaped mix).  Pure integer arithmetic; optional
+    ``headroom_num/den`` scales the result down (e.g. 9/10 leaves 10%
+    slack for the prefix-truncation undershoot of atomic documents).
+
+    One aggregate pass producing |languages| rows — bounded metadata,
+    so the driver-side collect is legitimate at any corpus scale (the
+    same contract as the IVF probe-cell collect).  Feed the result to
+    ``token_budget_sample(budget_tokens=...)`` for a self-sizing mix."""
+    if weights is None:
+        weights = MIX_WEIGHTS
+    total_w = sum(weights.values())
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("lang").isin(*weights))
+        .groupBy("lang")
+        .agg(F.expr(
+            "cast(sum(size(split(coalesce(text, ''), ' '))) as long)"
+        ).alias("avail"))
+        .collect()
+    )
+    avail = {r["lang"]: r["avail"] for r in rows}
+    t_star = min(avail.get(lang, 0) * total_w // w
+                 for lang, w in weights.items())
+    return t_star * headroom_num // headroom_den
+
+
 def salted_join_user_segments(spark: SparkSession, sf_dir: str,
                               n_salts: int = 8) -> DataFrame:
     """Skew-salted shuffle join, made explicit (north_rule: "partitioning

@@ -92,3 +92,39 @@ def test_zero_weight_language_dropped(spark):
         spark, SF01, weights={"en": 1}
     ).collect()
     assert rows and {r["lang"] for r in rows} == {"en"}
+
+
+def test_feasible_mixture_budget(spark):
+    """T* is the exact integer min over languages of avail·S/w, the
+    budget is achievable (every weighted language can fill its share),
+    and one unit more would overshoot some language's supply."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF01}/documents.parquet')"
+    )
+    avail = dict(con.execute(
+        "SELECT lang, CAST(SUM(len(string_split(coalesce(text,''),' '))) "
+        "AS BIGINT) FROM documents GROUP BY lang"
+    ).fetchall())
+    w = relational.MIX_WEIGHTS
+    s = sum(w.values())
+    want = min(avail[l] * s // wl for l, wl in w.items())
+    got = relational.feasible_mixture_budget(spark, SF01)
+    assert got == want
+    for lang, wl in w.items():
+        assert got * wl // s <= avail[lang]          # feasible
+    assert any((want + s) * wl // s > avail[lang]    # and maximal
+               for lang, wl in w.items())
+    # headroom scales down exactly
+    assert relational.feasible_mixture_budget(
+        spark, SF01, headroom_num=9, headroom_den=10
+    ) == want * 9 // 10
+
+
+def test_feasible_budget_missing_language_is_zero(spark):
+    assert relational.feasible_mixture_budget(
+        spark, SF01, weights={"en": 1, "xx": 1}
+    ) == 0

@@ -295,12 +295,19 @@ def test_training_corpus_filter_scans_documents_once(spark):
     """The composed filter references the quality-filtered table from
     two branches (exact-dedup aggregate + survivors join) and the
     shingle stream from three — all must read persisted scans: ONE
-    FileScan of documents per query."""
+    FileScan of documents per query (and, since the round-5 semantic
+    stage, exactly one more for embeddings — two unique scans total)."""
     from pdf_extractor2_spark.operators.dedup import training_corpus_filter
 
-    plan = _plan(training_corpus_filter(spark, "/root/testdata/sf0.001"))
+    plan = _plan(training_corpus_filter(
+        spark, "/root/testdata/sf0.001", with_semdedup=False
+    ))
     assert "documents.parquet" in plan
     assert _unique_parquet_scans(plan) == 1, plan
+
+    plan = _plan(training_corpus_filter(spark, "/root/testdata/sf0.001"))
+    assert "documents.parquet" in plan and "embeddings.parquet" in plan
+    assert _unique_parquet_scans(plan) == 2, plan
 
 
 def test_duplicate_span_stats_scans_documents_once(spark):

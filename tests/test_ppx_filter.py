@@ -23,8 +23,8 @@ def test_corpus_filter_ppx_parity(spark):
     """The graded default (with_ppx=True) must hash-match its DuckDB
     twin — rows, columns, and the band labels."""
     _compare(spark, SF,
-             dedup.training_corpus_filter(spark, SF),
-             dedup.training_corpus_filter_sql())
+             dedup.training_corpus_filter(spark, SF, with_semdedup=False),
+             dedup.training_corpus_filter_sql(with_semdedup=False))
 
 
 def test_corpus_filter_legacy_parity(spark):
@@ -32,8 +32,8 @@ def test_corpus_filter_legacy_parity(spark):
     own twin — the rework of the shared base (coalesced text, projected
     toks) must not move a single row."""
     _compare(spark, SF,
-             dedup.training_corpus_filter(spark, SF, with_ppx=False),
-             dedup.training_corpus_filter_sql(with_ppx=False))
+             dedup.training_corpus_filter(spark, SF, with_ppx=False, with_semdedup=False),
+             dedup.training_corpus_filter_sql(with_ppx=False, with_semdedup=False))
 
 
 def _quartile_bands(vals):
@@ -60,7 +60,9 @@ def test_corpus_filter_band_composition(spark):
     and the sf0.001 corpus genuinely populates all three bands."""
     base = {
         r["doc_id"]: r["n_exact_dups"]
-        for r in dedup.training_corpus_filter(spark, SF, with_ppx=False).collect()
+        for r in dedup.training_corpus_filter(
+            spark, SF, with_ppx=False, with_semdedup=False
+        ).collect()
     }
     scores = {
         r["doc_id"]: r["log_ppx"]
@@ -74,7 +76,7 @@ def test_corpus_filter_band_composition(spark):
     }
     got = {
         r["doc_id"]: (r["n_exact_dups"], r["log_ppx"], r["ppx_band"])
-        for r in dedup.training_corpus_filter(spark, SF).collect()
+        for r in dedup.training_corpus_filter(spark, SF, with_semdedup=False).collect()
     }
     assert got == want and got
     assert len(got) < len(base)  # the tail drop is not a no-op
@@ -102,13 +104,13 @@ def test_corpus_filter_null_text(spark, tmp_path):
     pq.write_table(table, str(tmp_path / "documents.parquet"))
 
     got = {r["doc_id"]: r for r in
-           dedup.training_corpus_filter(spark, str(tmp_path)).collect()}
+           dedup.training_corpus_filter(spark, str(tmp_path), with_semdedup=False).collect()}
     assert 3 not in got and 4 not in got and 1 not in got
     assert 0 in got and got[0]["n_exact_dups"] == 2
     assert all(r["ppx_band"] in ("head", "middle") for r in got.values())
     _compare(spark, str(tmp_path),
-             dedup.training_corpus_filter(spark, str(tmp_path)),
-             dedup.training_corpus_filter_sql())
+             dedup.training_corpus_filter(spark, str(tmp_path), with_semdedup=False),
+             dedup.training_corpus_filter_sql(with_semdedup=False))
 
 
 @pytest.mark.parametrize("seed", [7, 19, 31])
@@ -156,22 +158,128 @@ def test_corpus_filter_random_corpus_parity(spark, tmp_path, seed):
     pq.write_table(table, str(p / "documents.parquet"))
 
     got = sorted(tuple(r) for r in
-                 dedup.training_corpus_filter(spark, str(p)).collect())
+                 dedup.training_corpus_filter(spark, str(p),
+                                              with_semdedup=False).collect())
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM"
                 f" read_parquet('{p}/documents.parquet')")
     want = sorted(tuple(r) for r in
-                  con.execute(dedup.training_corpus_filter_sql()).fetchall())
+                  con.execute(dedup.training_corpus_filter_sql(
+                      with_semdedup=False)).fetchall())
     assert got == want, next((a, b) for a, b in zip(got, want) if a != b)
     assert got  # corpora are built to keep at least one gate-passer
 
 
 def test_corpus_filter_plan_default_path(spark):
-    """Default (ppx-folded) plan: ONE FileScan of documents, no Window
-    over corpus rows (vocab is TakeOrdered), model joins broadcast."""
+    """Default (ppx+semdedup) plan: ONE FileScan each of documents and
+    embeddings, no Window over corpus rows (vocab is TakeOrdered),
+    model joins broadcast."""
     from test_plans import _plan, _unique_parquet_scans
 
     plan = _plan(dedup.training_corpus_filter(spark, SF))
-    assert _unique_parquet_scans(plan) == 1, plan
+    assert _unique_parquet_scans(plan) == 2, plan
     assert "Window" not in plan, plan
     assert "TakeOrdered" in plan, plan
+
+
+def _compare_with_embeddings(spark, sf_dir, spark_df, sql):
+    """Like test_textstats_edge._compare but with BOTH corpus views
+    registered (the semantic stage reads embeddings)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{sf_dir}/{t}.parquet')")
+    scols = [c.lower() for c in spark_df.columns]
+    srows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    a = sorted(tuple(r[i] for i in so) for r in srows)
+    b = sorted(tuple(r[i] for i in do) for r in drows)
+    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
+    assert a
+
+
+def test_corpus_filter_semdedup_parity(spark):
+    """The graded default — all five stages, semantic dedup included —
+    hash-matches its DuckDB twin."""
+    _compare_with_embeddings(
+        spark, SF,
+        dedup.training_corpus_filter(spark, SF),
+        dedup.training_corpus_filter_sql(),
+    )
+
+
+def test_corpus_filter_semdedup_composition(spark):
+    """Stage 5 is exactly the standalone SemDeDup verdicts applied to
+    the stage-4 output: pruned ids vanish, survivors carry their cell."""
+    from pdf_extractor2_spark.operators import similarity
+
+    before = {
+        r["doc_id"]: (r["n_exact_dups"], r["log_ppx"], r["ppx_band"])
+        for r in dedup.training_corpus_filter(
+            spark, SF, with_semdedup=False
+        ).collect()
+    }
+    sd = {
+        r["vec_id"]: (r["cell"], r["sd_keep"])
+        for r in similarity.semdedup(spark, SF).collect()
+    }
+    want = {
+        d: (*v, sd[d][0] if d in sd else -1)
+        for d, v in before.items()
+        if d not in sd or sd[d][1] == 1
+    }
+    got = {
+        r["doc_id"]: (r["n_exact_dups"], r["log_ppx"], r["ppx_band"],
+                      r["sd_cell"])
+        for r in dedup.training_corpus_filter(spark, SF).collect()
+    }
+    assert got == want and got
+    assert len(got) < len(before)  # the semantic stage is not a no-op
+
+
+def test_corpus_filter_semdedup_unembedded_docs_pass(spark, tmp_path):
+    """Documents with no embedding row pass stage 5 with sd_cell = -1;
+    embedded semantic duplicates are pruned.  Fixture: two identical
+    long docs both embedded with identical vectors (doc 5 pruned, doc 0
+    kept) plus an embedded-nowhere doc 2 (kept, -1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # three TEXTUALLY disjoint long docs (no shared 8-token shingles —
+    # stage 3 must not be the thing that drops anyone here); 0 and 5
+    # are duplicates in EMBEDDING space only
+    t0 = " ".join(f"alpha{i} term{i}" for i in range(30)) + " end of doc zero"
+    t5 = " ".join(f"omega{i} word{i}" for i in range(30)) + " end of doc five"
+    t2 = " ".join(f"gamma{i} token{i}" for i in range(30)) + " end of doc two"
+    docs = [(0, t0), (5, t5), (2, t2)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    v = np.zeros(64, dtype=np.float32); v[0] = 1.0
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 5], pa.int64()),
+        "embedding": pa.array([v.tolist(), v.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = {r["doc_id"]: r["sd_cell"] for r in dedup.training_corpus_filter(
+        spark, str(tmp_path)).collect()}
+    assert 5 not in got          # identical embedding, higher id → pruned
+    assert got[0] == 0           # kept, cell 0 (its own seed)
+    assert got[2] == -1          # no embedding row → passes with sentinel
+    _compare_with_embeddings(
+        spark, str(tmp_path),
+        dedup.training_corpus_filter(spark, str(tmp_path)),
+        dedup.training_corpus_filter_sql(),
+    )
