@@ -499,7 +499,35 @@ _RAW_URL_SQL = (
 )
 
 
-def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Default host blocklist for the graded row (UT1-style domain list:
+# entries match the host exactly OR any subdomain of it).  Real lists
+# are 10^5-10^6 registrable domains — still broadcast/closure-sized
+# against 10^12 pages, which is why the match is a per-row expression
+# (map-side, zero shuffle), never a join against the corpus.
+URL_BLOCKLIST: tuple[str, ...] = ("host2.example", "host5.example")
+
+
+def _blocked_expr(entries: tuple[str, ...], engine: str) -> str:
+    """Shared blocklist predicate over a ``host`` column: exact match or
+    dot-boundary suffix (subdomain) match — ``ads.host2.example`` is
+    blocked by ``host2.example``, ``nothost2.example`` is NOT.  Same
+    lambda shape in both engines; only the function spellings differ
+    (Spark ``exists``/``endswith``, DuckDB ``list_filter``/
+    ``ends_with``)."""
+    arr = ", ".join(f"'{e}'" for e in entries)
+    if engine == "spark":
+        return (
+            f"cast(exists(array({arr}),"
+            " b -> host = b or endswith(host, concat('.', b))) as int)"
+        )
+    return (
+        f"CAST(len(list_filter([{arr}],"
+        " b -> host = b OR ends_with(host, '.' || b))) > 0 AS INT)"
+    )
+
+
+def url_normalize(spark: SparkSession, sf_dir: str,
+                  blocklist: tuple[str, ...] = URL_BLOCKLIST) -> DataFrame:
     """URL canonicalization — the step every crawl pipeline runs before
     url-keyed dedup (a url arrives in many spellings; without
     canonicalization, recrawl dedup silently treats them as distinct
@@ -511,7 +539,11 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     step identically in Spark and DuckDB, so the oracle checks the full
     normalization semantics.  Output: one row per document with its raw
     and canonical spelling plus how many raw spellings map to the same
-    canonical url corpus-wide (the dedup win the normalizer buys)."""
+    canonical url corpus-wide (the dedup win the normalizer buys), and
+    (round 5) ``blocked`` — the UT1-style domain-blocklist verdict on
+    the canonical host (``_blocked_expr``: exact or subdomain match,
+    evaluated per-row against the literal list — the fetch/curation
+    filter every crawl pipeline applies)."""
     raw = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_RAW_URL_EXPR).alias("raw_url")
     )
@@ -549,6 +581,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.col("scheme"), F.lit("://"), host, path_norm, query_norm
             ).alias("canon_url"),
+            host.alias("host"),
         )
     )
     forms = canon.groupBy("canon_url").agg(
@@ -557,10 +590,13 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.join(forms, "canon_url").select(
         "doc_id", "raw_url", "canon_url",
         F.col("n_raw_forms").cast("long").alias("n_raw_forms"),
+        F.expr(_blocked_expr(blocklist, "spark")).alias("blocked"),
     )
 
 
-def url_normalize_sql(table: str = "documents") -> str:
+def url_normalize_sql(table: str = "documents",
+                      blocklist: tuple[str, ...] = URL_BLOCKLIST) -> str:
+    blocked = _blocked_expr(blocklist, "duck")
     return f"""
         WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM {table}),
         step AS (SELECT doc_id, raw_url,
@@ -586,12 +622,18 @@ def url_normalize_sql(table: str = "documents") -> str:
                  || CASE WHEN query = '' THEN ''
                          ELSE '?' || array_to_string(
                                 list_sort(string_split(query, '&')), '&') END
-                   AS canon_url
+                   AS canon_url,
+                 CASE WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                      WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                      ELSE hostport END AS host
           FROM parts),
         forms AS (SELECT canon_url, COUNT(DISTINCT raw_url) AS n_raw_forms
                   FROM canon GROUP BY canon_url)
         SELECT doc_id, raw_url, canon_url,
-               CAST(n_raw_forms AS BIGINT) AS n_raw_forms
+               CAST(n_raw_forms AS BIGINT) AS n_raw_forms,
+               {blocked} AS blocked
         FROM canon JOIN forms USING (canon_url)
     """
 

@@ -471,3 +471,42 @@ def test_contamination_scans_documents_once_and_broadcasts(spark):
     assert "documents.parquet" in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_blocklist_suffix_semantics(spark):
+    """The blocklist predicate matches the host exactly or at a DOT
+    boundary only — ads.host2.example is blocked by host2.example,
+    nothost2.example is not — and the Spark and DuckDB spellings of
+    the shared lambda agree on every case."""
+    import duckdb
+
+    from pdf_extractor2_spark.operators.webcorpus import _blocked_expr
+
+    entries = ("host2.example", "banned.net")
+    cases = [
+        ("host2.example", 1),        # exact
+        ("ads.host2.example", 1),    # subdomain
+        ("a.b.host2.example", 1),    # deep subdomain
+        ("nothost2.example", 0),     # suffix but not at a dot boundary
+        ("host2.example.org", 0),    # entry as a PREFIX, not suffix
+        ("banned.net", 1),
+        ("x.banned.net", 1),
+        ("unbanned.net", 0),
+        ("host3.example", 0),
+    ]
+    sdf = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = {
+        r["host"]: r["blocked"]
+        for r in sdf.selectExpr(
+            "host", f"{_blocked_expr(entries, 'spark')} as blocked"
+        ).collect()
+    }
+    assert got == dict(cases)
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('{h}')" for h, _ in cases)
+    duck = dict(con.execute(
+        f"SELECT host, {_blocked_expr(entries, 'duck')} AS blocked"
+        f" FROM (VALUES {vals}) t(host)"
+    ).fetchall())
+    assert duck == dict(cases)
