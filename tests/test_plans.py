@@ -327,16 +327,18 @@ def test_consolidated_driver_rows_scan_once(spark):
     one persisted vector scan)."""
     from pdf_extractor2_spark.operators import similarity, textstats, webcorpus
 
-    for fn, table in (
-        (textstats.doc_profile, "documents"),
-        (textstats.top_tokens_combined, "documents"),
-        (webcorpus.host_profile, "documents"),
-        (similarity.embedding_near_dup_labeled, "embeddings"),
-        (similarity.semdedup, "embeddings"),
+    for fn, table, n_scans in (
+        (textstats.doc_profile, "documents", 1),
+        (textstats.top_tokens_combined, "documents", 1),
+        # 2 since round 5: the fused per-row projection + the PageRank
+        # subtree's doc_id-only (column-pruned) scan
+        (webcorpus.host_profile, "documents", 2),
+        (similarity.embedding_near_dup_labeled, "embeddings", 1),
+        (similarity.semdedup, "embeddings", 1),
     ):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert f"{table}.parquet" in plan, fn.__name__
-        assert _unique_parquet_scans(plan) == 1, (fn.__name__, plan)
+        assert _unique_parquet_scans(plan) == n_scans, (fn.__name__, plan)
         assert "InMemoryTableScan" in plan, fn.__name__
 
 

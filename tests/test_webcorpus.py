@@ -510,3 +510,64 @@ def test_blocklist_suffix_semantics(spark):
         f" FROM (VALUES {vals}) t(host)"
     ).fetchall())
     assert duck == dict(cases)
+
+
+# ---------------------------------------------------------------------------
+# host-graph PageRank (round 5)
+# ---------------------------------------------------------------------------
+
+def test_host_pagerank_parity_and_python_reference(spark):
+    """Bit-identical ranks across Spark, DuckDB, and an independent
+    pure-Python evaluation of the integer recurrence; rank mass stays
+    within the deterministic floor-leak of the scale; ranks are
+    non-uniform (the derived graph is not regular)."""
+    import collections
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r["host"], r["pagerank_e9"])
+                 for r in webcorpus.host_pagerank(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = sorted(con.execute(webcorpus.host_pagerank_sql()).fetchall())
+    assert got == want
+
+    H = webcorpus.N_HOSTS
+    docs = [d for (d,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    edges = collections.Counter()
+    for d in docs:
+        s, t = d % H, (d % H + d // H) % H
+        if s != t:
+            edges[(s, t)] += 1
+    outw = collections.Counter()
+    for (s, t), w in edges.items():
+        outw[s] += w
+    nodes = sorted({d % H for d in docs} | {(d % H + d // H) % H for d in docs})
+    n = len(nodes)
+    base_total = ((webcorpus.PR_ALPHA_DEN - webcorpus.PR_ALPHA_NUM)
+                  * webcorpus.PR_SCALE // webcorpus.PR_ALPHA_DEN)
+    r = {h: webcorpus.PR_SCALE // n for h in nodes}
+    for _ in range(webcorpus.PR_ITERS):
+        inr = collections.Counter()
+        for (s, t), w in edges.items():
+            inr[t] += r[s] * w // outw[s]
+        r = {h: base_total // n
+             + webcorpus.PR_ALPHA_NUM * inr.get(h, 0) // webcorpus.PR_ALPHA_DEN
+             for h in nodes}
+    ref = sorted((f"host{h}.example", v) for h, v in r.items())
+    assert ref == got
+
+    mass = sum(v for _, v in got)
+    assert webcorpus.PR_SCALE * 99 // 100 <= mass <= webcorpus.PR_SCALE
+    assert len({v for _, v in got}) > 1  # non-uniform
+
+
+def test_host_profile_carries_standalone_pagerank(spark):
+    sf = "/root/testdata/sf0.001"
+    alone = {r["host"]: r["pagerank_e9"]
+             for r in webcorpus.host_pagerank(spark, sf).collect()}
+    fold = {r["host"]: r["pagerank_e9"]
+            for r in webcorpus.host_profile(spark, sf).collect()}
+    assert fold == alone and fold
