@@ -371,6 +371,150 @@ def host_quality_report_sql(table: str = "documents") -> str:
     """
 
 
+# --- incremental view maintenance: per-host stats under recrawl upserts ----
+
+def incremental_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of per-host (n_urls, total_chars) under
+    a recrawl batch — the 100-TB pattern where you do NOT re-aggregate
+    10^12 pages because 10^8 arrived: the maintained aggregate is
+    ``old_host_stats ⊕ delta``, where the delta RETRACTS the replaced
+    capture's contribution and ADDS the new one.
+
+    Era derivation matches ``snapshot_diff`` (doc_id % 2): era 0 is the
+    old snapshot (latest capture per url), era 1 the arriving batch
+    (its own latest per url).  Per url the batch either (a) introduces
+    a new url (+new), (b) supersedes the old capture when strictly
+    newer (−old +new), or (c) is stale (older than what the snapshot
+    holds — dropped, no delta).  All delta terms are per-(host) SUMs —
+    partial-aggregable, so a host with 10^8 updated urls folds
+    map-side; the merge with the old stats is one host-keyed outer
+    join of two |hosts|-sized tables.
+
+    Output per host: maintained ``n_urls``/``total_chars`` plus the
+    batch-audit counters ``n_added``/``n_updated``/``n_stale``.
+    tests/test_webcorpus.py pins the maintained numbers equal to a
+    direct recompute over latest-per-url across both eras — the IVM
+    path and the full-recompute path must agree exactly."""
+    web = _docs(spark, sf_dir).select(
+        "n_chars",
+        F.expr(_URL_EXPR).alias("url"),
+        F.expr(_HOST_EXPR).alias("host"),
+        F.expr(_WARC_EXPR).alias("warc_epoch"),
+        (F.col("doc_id") % 2).alias("era"),
+    )
+    _scoped_clear()
+    # one pass builds BOTH eras' latest-per-url tables
+    latest = _scoped_persist(
+        web.groupBy("era", "url").agg(
+            F.min("host").alias("host"),  # host is a function of url
+            F.expr("max_by(n_chars, warc_epoch)").alias("chars"),
+            F.max("warc_epoch").alias("epoch"),
+        )
+    )
+    base = latest.where(F.col("era") == 0).select(
+        "url", "host",
+        F.col("chars").alias("old_chars"), F.col("epoch").alias("old_epoch"),
+    )
+    batch = latest.where(F.col("era") == 1).select(
+        "url", F.col("host").alias("bhost"),
+        F.col("chars").alias("new_chars"), F.col("epoch").alias("new_epoch"),
+    )
+    old_stats = base.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("old_chars").cast("long").alias("total_chars"),
+    )
+    j = base.join(batch, "url", "full_outer").select(
+        F.coalesce(F.col("host"), F.col("bhost")).alias("host"),
+        F.expr(
+            "case when old_epoch is null then 'added'"
+            " when new_epoch is null then 'kept'"
+            " when new_epoch > old_epoch then 'updated'"
+            " else 'stale' end"
+        ).alias("kind"),
+        F.expr(
+            "case when old_epoch is null then new_chars"
+            " when new_epoch is null then cast(0 as bigint)"
+            " when new_epoch > old_epoch then new_chars - old_chars"
+            " else cast(0 as bigint) end"
+        ).alias("d_chars"),
+    )
+    delta = j.groupBy("host").agg(
+        F.expr("sum(case when kind = 'added' then 1 else 0 end)")
+        .cast("long").alias("n_added"),
+        F.expr("sum(case when kind = 'updated' then 1 else 0 end)")
+        .cast("long").alias("n_updated"),
+        F.expr("sum(case when kind = 'stale' then 1 else 0 end)")
+        .cast("long").alias("n_stale"),
+        F.sum("d_chars").cast("long").alias("d_chars"),
+    )
+    return (
+        old_stats.join(delta, "host", "full_outer")
+        .select(
+            "host",
+            F.expr("coalesce(n_urls, 0) + coalesce(n_added, 0)")
+            .cast("long").alias("n_urls"),
+            F.expr("coalesce(total_chars, 0) + coalesce(d_chars, 0)")
+            .cast("long").alias("total_chars"),
+            F.expr("coalesce(n_added, 0)").cast("long").alias("n_added"),
+            F.expr("coalesce(n_updated, 0)").cast("long").alias("n_updated"),
+            F.expr("coalesce(n_stale, 0)").cast("long").alias("n_stale"),
+        )
+    )
+
+
+def incremental_host_stats_sql(table: str = "documents") -> str:
+    return f"""
+        WITH ivm_web AS (
+          SELECT n_chars, {_URL_SQL} AS url, {_HOST_SQL} AS host,
+                 {_WARC_SQL} AS warc_epoch, doc_id % 2 AS era
+          FROM {table}),
+        ivm_latest AS (
+          SELECT era, url, MIN(host) AS host,
+                 arg_max(n_chars, warc_epoch) AS chars,
+                 MAX(warc_epoch) AS epoch
+          FROM ivm_web GROUP BY era, url),
+        ivm_base AS (SELECT url, host, chars AS old_chars, epoch AS old_epoch
+                     FROM ivm_latest WHERE era = 0),
+        ivm_batch AS (SELECT url, host AS bhost, chars AS new_chars,
+                             epoch AS new_epoch
+                      FROM ivm_latest WHERE era = 1),
+        ivm_old AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                           CAST(SUM(old_chars) AS BIGINT) AS total_chars
+                    FROM ivm_base GROUP BY host),
+        ivm_j AS (
+          SELECT COALESCE(b.host, n.bhost) AS host,
+                 CASE WHEN b.old_epoch IS NULL THEN 'added'
+                      WHEN n.new_epoch IS NULL THEN 'kept'
+                      WHEN n.new_epoch > b.old_epoch THEN 'updated'
+                      ELSE 'stale' END AS kind,
+                 CASE WHEN b.old_epoch IS NULL THEN n.new_chars
+                      WHEN n.new_epoch IS NULL THEN CAST(0 AS BIGINT)
+                      WHEN n.new_epoch > b.old_epoch
+                        THEN n.new_chars - b.old_chars
+                      ELSE CAST(0 AS BIGINT) END AS d_chars
+          FROM ivm_base b FULL OUTER JOIN ivm_batch n USING (url)),
+        ivm_delta AS (
+          SELECT host,
+                 CAST(SUM(CASE WHEN kind = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_added,
+                 CAST(SUM(CASE WHEN kind = 'updated' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_updated,
+                 CAST(SUM(CASE WHEN kind = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_stale,
+                 CAST(SUM(d_chars) AS BIGINT) AS d_chars
+          FROM ivm_j GROUP BY host)
+        SELECT COALESCE(o.host, d.host) AS host,
+               CAST(COALESCE(o.n_urls, 0) + COALESCE(d.n_added, 0) AS BIGINT)
+                 AS n_urls,
+               CAST(COALESCE(o.total_chars, 0) + COALESCE(d.d_chars, 0) AS BIGINT)
+                 AS total_chars,
+               CAST(COALESCE(d.n_added, 0) AS BIGINT) AS n_added,
+               CAST(COALESCE(d.n_updated, 0) AS BIGINT) AS n_updated,
+               CAST(COALESCE(d.n_stale, 0) AS BIGINT) AS n_stale
+        FROM ivm_old o FULL OUTER JOIN ivm_delta d ON o.host = d.host
+    """
+
+
 # --- host-graph PageRank (crawl prioritization) ----------------------------
 
 PR_SCALE = 1_000_000_000          # ranks live in integer 1e-9 units

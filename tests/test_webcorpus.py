@@ -571,3 +571,97 @@ def test_host_profile_carries_standalone_pagerank(spark):
     fold = {r["host"]: r["pagerank_e9"]
             for r in webcorpus.host_profile(spark, sf).collect()}
     assert fold == alone and fold
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (round 5)
+# ---------------------------------------------------------------------------
+
+def test_incremental_host_stats_equals_full_recompute(spark):
+    """The IVM path (old snapshot stats ⊕ retraction/addition delta)
+    must equal a direct re-aggregation over latest-per-url across both
+    eras — exactly, host by host — and the batch must genuinely
+    exercise all three delta kinds on this corpus."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["host"]: (r["n_urls"], r["total_chars"])
+           for r in webcorpus.incremental_host_stats(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = dict(con.execute(f"""
+        WITH web AS (SELECT n_chars, {webcorpus._URL_SQL} AS url,
+                            {webcorpus._HOST_SQL} AS host,
+                            {webcorpus._WARC_SQL} AS warc_epoch
+                     FROM documents),
+        latest AS (SELECT url, MIN(host) AS host,
+                          arg_max(n_chars, warc_epoch) AS chars
+                   FROM web GROUP BY url)
+        SELECT host, (CAST(COUNT(*) AS BIGINT), CAST(SUM(chars) AS BIGINT))
+        FROM latest GROUP BY host
+    """).fetchall())
+    assert got == want and got
+
+    audit = {r["host"]: (r["n_added"], r["n_updated"], r["n_stale"])
+             for r in webcorpus.incremental_host_stats(spark, sf).collect()}
+    # at sf0.001 every url has captures in BOTH eras (175 is odd, so a
+    # url's doc_ids alternate parity) — 'added' needs the crafted
+    # fixture below; updates and stale batch rows both occur here
+    assert sum(u for _, u, _ in audit.values()) > 0
+    assert sum(s for _, _, s in audit.values()) > 0
+
+
+def test_incremental_host_stats_all_delta_kinds(spark, tmp_path):
+    """Crafted doc_ids exercising every delta kind: 0+175 same url,
+    batch newer (updated); 3 odd-only (added); 1+176 same url, batch
+    OLDER (stale -> old capture kept); 4 even-only (kept).  Maintained
+    stats hand-checked, and the DuckDB twin agrees on the fixture."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = [0, 175, 3, 1, 176, 4]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"doc {d}" for d in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["t"] * len(ids), pa.string()),
+        "n_chars": pa.array([10 * (i + 1) for i in range(len(ids))], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    rows = {r["host"]: r for r in
+            webcorpus.incremental_host_stats(spark, str(tmp_path)).collect()}
+    # host indices: doc%7 -> 0,0:(0,175) ; 3 ; 1,1:(1,176) ; 4
+    h = lambda i: f"host{i}.example"
+    assert rows[h(0)]["n_updated"] == 1 and rows[h(0)]["n_added"] == 0
+    assert rows[h(0)]["total_chars"] == 20            # 175's capture (20) replaced 0's (10)
+    assert rows[h(3)]["n_added"] == 1 and rows[h(3)]["total_chars"] == 30
+    assert rows[h(1)]["n_stale"] == 1 and rows[h(1)]["n_updated"] == 0
+    assert rows[h(1)]["total_chars"] == 50            # 176's newer era-0 capture kept
+    assert rows[h(4)]["n_added"] == rows[h(4)]["n_updated"] == rows[h(4)]["n_stale"] == 0
+    assert rows[h(4)]["total_chars"] == 60
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(webcorpus.incremental_host_stats_sql()).fetchall())
+    got = sorted(tuple(r) for r in
+                 webcorpus.incremental_host_stats(spark, str(tmp_path)).collect())
+    assert got == want
+
+
+def test_incremental_host_stats_duckdb_parity(spark):
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    got = sorted(tuple(r) for r in
+                 webcorpus.incremental_host_stats(spark, sf).collect())
+    want = sorted(tuple(r) for r in
+                  con.execute(webcorpus.incremental_host_stats_sql()).fetchall())
+    assert got == want and got
