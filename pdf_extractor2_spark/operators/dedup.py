@@ -821,18 +821,34 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         )
         out_cols += ["log_ppx", "ppx_band"]
     if with_semdedup:
-        # stage 5: semantic dedup — ONE left join against the SemDeDup
-        # verdicts (sd referenced once, so per the round-5 lesson it is
-        # NOT persisted; only the embeddings scan underneath it is)
-        from .similarity import _emb, _semdedup_from
+        # stage 5: SURVIVOR-AWARE semantic dedup (review fix): a doc is
+        # pruned only when some LOWER-id SURVIVOR of stages 1-4 sits in
+        # its duplicate pair — full-corpus verdicts would let a
+        # representative that stages 1-4 already dropped take its whole
+        # duplicate group down with it (silent total content loss).
+        # kept is persisted AND pre-materialized: the drop set is built
+        # in a parallel broadcast thread, and a cold kept cache there
+        # would re-run stages 1-4 twice.
+        from .similarity import _emb, _semdedup_parts_from
 
         emb = _scoped_persist(_emb(spark, sf_dir))
-        sd = _semdedup_from(emb).select(
-            F.col("vec_id").alias("doc_id"), "cell", "sd_keep"
+        cells, prune_pairs = _semdedup_parts_from(emb)
+        kept = _scoped_persist(kept)
+        kept.count()
+        drop = (
+            prune_pairs.join(
+                kept.select(F.col("doc_id").alias("vec_a")), "vec_a",
+                "left_semi",
+            )
+            .select(F.col("vec_b").alias("doc_id"))
+            .distinct()
         )
         kept = (
-            kept.join(sd, "doc_id", "left")
-            .where(F.coalesce(F.col("sd_keep"), F.lit(1)) == 1)
+            kept.join(drop, "doc_id", "left_anti")
+            .join(
+                cells.select(F.col("vec_id").alias("doc_id"), "cell"),
+                "doc_id", "left",
+            )
             .withColumn("sd_cell", F.coalesce(F.col("cell"), F.lit(-1)))
         )
         out_cols += ["sd_cell"]
@@ -844,19 +860,10 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
                                with_ppx: bool = True,
                                with_semdedup: bool = True,
                                emb_table: str = "embeddings") -> str:
-    from .similarity import semdedup_sql
+    from .similarity import _semdedup_parts_sql_ctes
     from .textstats import (
         _BASE_SQL, _PPX_MEAN, _ppx_band_sql_ctes, _ppx_sql_ctes,
     )
-
-    # stage-5 fragments (semdedup_sql is a complete WITH…SELECT — DuckDB
-    # accepts it as a derived table, the committed nested-WITH idiom)
-    if with_semdedup:
-        sd_col = ", COALESCE(s.cell, -1) AS sd_cell"
-        sd_join = f"LEFT JOIN ({semdedup_sql(emb_table)}) s ON s.vec_id = k.doc_id"
-        sd_pred = "AND COALESCE(s.sd_keep, 1) = 1"
-    else:
-        sd_col = sd_join = sd_pred = ""
 
     core = f"""
         quality AS (
@@ -879,26 +886,41 @@ def training_corpus_filter_sql(table: str = "documents", threshold: float = 0.5,
           JOIN sizes sb ON sb.doc_id = b.doc_id
           GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
           HAVING {round_half_up_expr("CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*))", 6)} >= {threshold})"""
-    if not with_ppx:
-        return f"""
-        WITH base AS ({_BASE_SQL.format(table=table)}),
-        {core}
-        SELECT k.doc_id, k.n_exact_dups{sd_col} FROM exact_kept k
-        {sd_join}
-        WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped) {sd_pred}
-    """
-    return f"""
+    if with_ppx:
+        pre = f"""
         WITH base AS ({_BASE_SQL.format(table=table)}),
         {core},
         {_ppx_sql_ctes("base")},
         ppx AS (SELECT doc_id, {round_half_up_expr(_PPX_MEAN, 4)} AS log_ppx
                 FROM ppx_doc),
-        {_ppx_band_sql_ctes("ppx")}
-        SELECT k.doc_id, k.n_exact_dups, p.log_ppx, p.ppx_band{sd_col}
-        FROM exact_kept k JOIN ppx_banded p ON k.doc_id = p.doc_id
-        {sd_join}
-        WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
-          AND p.ppx_band <> 'tail' {sd_pred}
+        {_ppx_band_sql_ctes("ppx")}"""
+        kept_sel = """
+        tcf_kept AS (
+          SELECT k.doc_id, k.n_exact_dups, p.log_ppx, p.ppx_band
+          FROM exact_kept k JOIN ppx_banded p ON k.doc_id = p.doc_id
+          WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+            AND p.ppx_band <> 'tail')"""
+    else:
+        pre = f"""
+        WITH base AS ({_BASE_SQL.format(table=table)}),
+        {core}"""
+        kept_sel = """
+        tcf_kept AS (
+          SELECT k.doc_id, k.n_exact_dups FROM exact_kept k
+          WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped))"""
+    if not with_semdedup:
+        return f"{pre},{kept_sel}\n        SELECT * FROM tcf_kept"
+    # stage 5 (survivor-aware, mirrors the Spark plan): a kept doc is
+    # dropped only when some LOWER-id KEPT doc shares a prune pair
+    return f"""{pre},{kept_sel},
+        {_semdedup_parts_sql_ctes(emb_table)},
+        sd_drop AS (
+          SELECT DISTINCT p.vec_b AS doc_id FROM sd_pairs p
+          WHERE p.vec_a IN (SELECT doc_id FROM tcf_kept))
+        SELECT k.*, COALESCE(c.cell, -1) AS sd_cell
+        FROM tcf_kept k
+        LEFT JOIN a2 c ON c.vec_id = k.doc_id
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM sd_drop)
     """
 
 

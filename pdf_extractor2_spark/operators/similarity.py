@@ -418,11 +418,32 @@ def _semdedup_from(
     broadcast-centroid assignments + one hash aggregate; pruning is one
     self-equi-join on the cell key; the keep flag is one left join.
     No window over corpus rows, no driver-side collect."""
+    cells, pairs = _semdedup_parts_from(emb, tau, n_cells)
+    pruned = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return cells.join(pruned, "vec_id", "left").select(
+        "vec_id", "cell",
+        F.when(F.col("pruned").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+        .alias("sd_keep"),
+    )
+
+
+def _semdedup_parts_from(
+    emb: DataFrame, tau: float = SEMDEDUP_TAU, n_cells: int = N_IVF_CELLS
+) -> tuple[DataFrame, DataFrame]:
+    """The two reusable pieces of the SemDeDup pass: ``cells``
+    (vec_id → quantizer cell, persisted — it feeds both pair-join
+    sides and whatever the caller joins it to) and ``pairs`` — the
+    distinct within-cell (vec_a < vec_b, cos ≥ τ) prune-candidate
+    pairs.  ``training_corpus_filter`` consumes the PAIRS (so it can
+    restrict pruning to pairs whose keeper survived its earlier
+    stages); ``_semdedup_from`` consumes them as the corpus-wide
+    verdict."""
     from .dedup import _scoped_persist
 
-    # cells feeds both pair-join sides AND the final keep-flag join;
-    # unpersisted, the whole 2-crossjoin quantizer would execute once
-    # per reference (the caller's _scoped_clear owns the lifetime)
     cells = _scoped_persist(_ivf_model_from(emb, n_cells)[0])
     withv = cells.join(emb.select("vec_id", "embedding"), "vec_id")
     xa = withv.select(
@@ -436,20 +457,15 @@ def _semdedup_from(
     dot = _DOT.format(a="emb_a", b="emb_b")
     na = _DOT.format(a="emb_a", b="emb_a")
     nb = _DOT.format(a="emb_b", b="emb_b")
-    pruned = (
+    pairs = (
         xa.join(xb, "cell")
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", F.expr(_r4(f"({dot}) / (sqrt({na}) * sqrt({nb}))")))
         .where(F.col("cos_sim") >= tau)
-        .select(F.col("vec_b").alias("vec_id"))
+        .select("vec_a", "vec_b")
         .distinct()
-        .withColumn("pruned", F.lit(1))
     )
-    return cells.join(pruned, "vec_id", "left").select(
-        "vec_id", "cell",
-        F.when(F.col("pruned").isNotNull(), F.lit(0)).otherwise(F.lit(1))
-        .alias("sd_keep"),
-    )
+    return cells, pairs
 
 
 def semdedup(
@@ -669,23 +685,35 @@ def _ivf_model_ctes_sql(table: str, n_cells: int, dims: int) -> str:
                  FROM s2) WHERE rn = 1)"""
 
 
-def semdedup_sql(table: str = "embeddings", tau: float = SEMDEDUP_TAU,
-                 n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS) -> str:
-    """DuckDB twin of ``semdedup``: identical quantizer CTEs
-    (``_ivf_model_ctes_sql``), identical rounded-cosine prune predicate,
-    identical lowest-id-wins keep rule."""
+def _semdedup_parts_sql_ctes(table: str = "embeddings",
+                             tau: float = SEMDEDUP_TAU,
+                             n_cells: int = N_IVF_CELLS,
+                             dims: int = EMB_DIMS) -> str:
+    """Quantizer CTEs + the distinct within-cell prune-candidate pairs
+    (``sd_pairs``) — the SQL twin of ``_semdedup_parts_from``, composed
+    by both the standalone verdict oracle and the corpus filter's
+    survivor-aware stage 5."""
     cos = _r4(
         "list_dot_product(x.v, y.v)"
         " / (sqrt(list_dot_product(x.v, x.v))"
         " * sqrt(list_dot_product(y.v, y.v)))"
     )
-    return f"""
-        WITH {_ivf_model_ctes_sql(table, n_cells, dims)},
+    return f"""{_ivf_model_ctes_sql(table, n_cells, dims)},
         sda AS (SELECT a2.vec_id, a2.cell, e.v FROM a2 JOIN e USING (vec_id)),
-        sdpruned AS (
-          SELECT DISTINCT y.vec_id
+        sd_pairs AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM sda x JOIN sda y ON x.cell = y.cell AND x.vec_id < y.vec_id
-          WHERE {cos} >= {tau})
+          WHERE {cos} >= {tau})"""
+
+
+def semdedup_sql(table: str = "embeddings", tau: float = SEMDEDUP_TAU,
+                 n_cells: int = N_IVF_CELLS, dims: int = EMB_DIMS) -> str:
+    """DuckDB twin of ``semdedup``: identical quantizer CTEs
+    (``_ivf_model_ctes_sql``), identical rounded-cosine prune predicate,
+    identical lowest-id-wins keep rule."""
+    return f"""
+        WITH {_semdedup_parts_sql_ctes(table, tau, n_cells, dims)},
+        sdpruned AS (SELECT DISTINCT vec_b AS vec_id FROM sd_pairs)
         SELECT a2.vec_id, a2.cell,
                CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS sd_keep
         FROM a2 LEFT JOIN sdpruned p USING (vec_id)
@@ -745,16 +773,20 @@ def embedding_near_dup_labeled_sql(
         table, threshold, n_bands, band_dims, probe_h1
     )
     norms = label_centroid_norms_sql(table)
-    sd_cols = sd_joins = ""
+    sd_cte = sd_cols = sd_joins = ""
     if with_semdedup:
-        sd = semdedup_sql(table, tau)
+        # bound ONCE as a named CTE — inlining the derived table twice
+        # would make DuckDB evaluate the quantizer + quadratic prune
+        # twice (no CSE across derived tables)
+        sd_cte = f"WITH sd AS ({semdedup_sql(table, tau)})"
         sd_cols = """,
                sa.cell AS cell_a, sa.sd_keep AS sd_keep_a,
                sb.cell AS cell_b, sb.sd_keep AS sd_keep_b"""
-        sd_joins = f"""
-        JOIN ({sd}) sa ON sa.vec_id = p.vec_a
-        JOIN ({sd}) sb ON sb.vec_id = p.vec_b"""
+        sd_joins = """
+        JOIN sd sa ON sa.vec_id = p.vec_a
+        JOIN sd sb ON sb.vec_id = p.vec_b"""
     return f"""
+        {sd_cte}
         SELECT p.vec_a, p.vec_b, p.cos_sim,
                la.label AS label_a, lb.label AS label_b,
                na.n_vecs AS n_vecs_a, na.mean_norm AS mean_norm_a,

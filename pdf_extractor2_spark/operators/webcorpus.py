@@ -567,15 +567,21 @@ def host_pagerank(spark: SparkSession, sf_dir: str,
 
 
 def _pagerank_ranks(spark: SparkSession, sf_dir: str,
-                    n_iters: int = PR_ITERS) -> DataFrame:
+                    n_iters: int = PR_ITERS,
+                    docs: DataFrame | None = None) -> DataFrame:
     """Rank computation WITHOUT the scoped-cache clear — composable from
-    multi-branch queries (``host_profile``) that own the cache scope."""
+    multi-branch queries (``host_profile``) that own the cache scope.
+    Pass ``docs`` (any frame carrying ``doc_id``, typically the
+    caller's ALREADY-PERSISTED projection) to derive the graph off an
+    existing cache instead of a second corpus scan — the same
+    frame-parameterization as ``similarity._ivf_model_from``."""
     src, dst = _pr_edges_spark()
     base_total = (PR_ALPHA_DEN - PR_ALPHA_NUM) * PR_SCALE // PR_ALPHA_DEN
+    source = _docs(spark, sf_dir) if docs is None else docs
     # persisted: feeds the edge aggregate AND both union legs of the
-    # node set — one doc_id-pruned scan instead of three
+    # node set — one doc_id-pruned scan (or cache read) instead of three
     web = _scoped_persist(
-        _docs(spark, sf_dir).select(
+        source.select(
             F.expr(f"cast({src} as bigint)").alias("src"),
             F.expr(f"cast({dst} as bigint)").alias("dst"),
         )
@@ -690,7 +696,7 @@ def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ml", F.expr(ML_EXPR))
         .select(
-            "host", "url", "n_chars",
+            "doc_id", "host", "url", "n_chars",
             F.expr("cast(size(toks) as long)").alias("n_words"),
             F.expr(f"case when {KEPT_EXPR} then 1 else 0 end").alias("kept_i"),
         )
@@ -708,8 +714,9 @@ def host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_words = round_half_up_expr("CAST(sum_words AS DOUBLE) / n_docs", 2)
     # round 5: + crawl-prioritization signal — the host-graph PageRank
     # (one broadcastable |hosts|-row join; _pagerank_ranks shares this
-    # query's cache scope, its own edge/node persists are scoped here)
-    pr = _pagerank_ranks(spark, sf_dir)
+    # query's cache scope AND its persisted per-row projection — the
+    # graph derives off the cache, keeping the single-FileScan shape)
+    pr = _pagerank_ranks(spark, sf_dir, docs=rows)
     return (
         per_host.crossJoin(F.broadcast(total))
         .join(pr, "host")

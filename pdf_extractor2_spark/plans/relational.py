@@ -1029,6 +1029,9 @@ def feasible_mixture_budget(spark: SparkSession, sf_dir: str,
     ``token_budget_sample(budget_tokens=...)`` for a self-sizing mix."""
     if weights is None:
         weights = MIX_WEIGHTS
+    if not weights:
+        return 0  # an empty mixture is loudly infeasible, same as a
+        #           missing language — not a ValueError
     total_w = sum(weights.values())
     rows = (
         _t(spark, sf_dir, "documents")

@@ -13,27 +13,10 @@ SF_DIR = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
 
 
-def _oracle(sf_dir: str, sql: str):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
-    res = con.execute(sql)
-    return [d[0].lower() for d in res.description], res.fetchall()
-
-
 def _assert_parity(spark_df, sf_dir, sql):
-    scols = [c.lower() for c in spark_df.columns]
-    srows = [tuple(r) for r in spark_df.collect()]
-    dcols, drows = _oracle(sf_dir, sql)
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    so = sorted(range(len(scols)), key=lambda i: scols[i])
-    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    a = sorted(tuple(r[i] for i in so) for r in srows)
-    b = sorted(tuple(r[i] for i in do) for r in drows)
-    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
-    assert a
+    from parity import assert_parity
+
+    assert_parity(spark_df, sql, sf_dir, tables=("documents",))
 
 
 def test_mixture_default_parity(spark):

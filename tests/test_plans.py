@@ -330,9 +330,9 @@ def test_consolidated_driver_rows_scan_once(spark):
     for fn, table, n_scans in (
         (textstats.doc_profile, "documents", 1),
         (textstats.top_tokens_combined, "documents", 1),
-        # 2 since round 5: the fused per-row projection + the PageRank
-        # subtree's doc_id-only (column-pruned) scan
-        (webcorpus.host_profile, "documents", 2),
+        # back to 1 in round 5b: the PageRank subtree derives its graph
+        # off the SAME persisted per-row projection (review fix)
+        (webcorpus.host_profile, "documents", 1),
         (similarity.embedding_near_dup_labeled, "embeddings", 1),
         (similarity.semdedup, "embeddings", 1),
     ):

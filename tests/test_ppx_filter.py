@@ -183,26 +183,11 @@ def test_corpus_filter_plan_default_path(spark):
 
 
 def _compare_with_embeddings(spark, sf_dir, spark_df, sql):
-    """Like test_textstats_edge._compare but with BOTH corpus views
-    registered (the semantic stage reads embeddings)."""
-    import duckdb
+    """Both corpus views registered (the semantic stage reads
+    embeddings); the shared comparator carries the float-norm guard."""
+    from parity import assert_parity
 
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM"
-                    f" read_parquet('{sf_dir}/{t}.parquet')")
-    scols = [c.lower() for c in spark_df.columns]
-    srows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    dcols = [d[0].lower() for d in res.description]
-    drows = res.fetchall()
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    so = sorted(range(len(scols)), key=lambda i: scols[i])
-    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    a = sorted(tuple(r[i] for i in so) for r in srows)
-    b = sorted(tuple(r[i] for i in do) for r in drows)
-    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
-    assert a
+    assert_parity(spark_df, sql, sf_dir, tables=("documents", "embeddings"))
 
 
 def test_corpus_filter_semdedup_parity(spark):
@@ -216,8 +201,12 @@ def test_corpus_filter_semdedup_parity(spark):
 
 
 def test_corpus_filter_semdedup_composition(spark):
-    """Stage 5 is exactly the standalone SemDeDup verdicts applied to
-    the stage-4 output: pruned ids vanish, survivors carry their cell."""
+    """Stage 5 is SemDeDup restricted to the stage-4 survivors: a kept
+    doc is dropped iff some LOWER-id KEPT doc shares a within-cell
+    cos≥τ pair with it (recomputed here from the pair table directly);
+    survivors carry their quantizer cell."""
+    import duckdb
+
     from pdf_extractor2_spark.operators import similarity
 
     before = {
@@ -226,14 +215,21 @@ def test_corpus_filter_semdedup_composition(spark):
             spark, SF, with_semdedup=False
         ).collect()
     }
-    sd = {
-        r["vec_id"]: (r["cell"], r["sd_keep"])
-        for r in similarity.semdedup(spark, SF).collect()
-    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    pairs = con.execute(
+        f"WITH {similarity._semdedup_parts_sql_ctes()} "
+        "SELECT vec_a, vec_b FROM sd_pairs"
+    ).fetchall()
+    cells = dict(con.execute(
+        f"WITH {similarity._semdedup_parts_sql_ctes()} "
+        "SELECT vec_id, cell FROM a2"
+    ).fetchall())
+    dropped = {b for a, b in pairs if a in before}
     want = {
-        d: (*v, sd[d][0] if d in sd else -1)
-        for d, v in before.items()
-        if d not in sd or sd[d][1] == 1
+        d: (*v, cells.get(d, -1))
+        for d, v in before.items() if d not in dropped
     }
     got = {
         r["doc_id"]: (r["n_exact_dups"], r["log_ppx"], r["ppx_band"],
@@ -242,6 +238,46 @@ def test_corpus_filter_semdedup_composition(spark):
     }
     assert got == want and got
     assert len(got) < len(before)  # the semantic stage is not a no-op
+
+
+def test_corpus_filter_semdedup_spares_orphaned_groups(spark, tmp_path):
+    """Review regression: when a duplicate group's lowest-id member was
+    already dropped by an earlier stage (here the quality gate), the
+    surviving member must NOT be semantically pruned — full-corpus
+    verdicts would delete every copy of that content."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = " ".join(f"epsilon{i} chunk{i}" for i in range(30)) + " end of doc zero"
+    t20 = " ".join(f"delta{i} piece{i}" for i in range(30)) + " end of doc twenty"
+    docs = [
+        (0, t0),             # quantizer seed (vec_id < 8), survives
+        (10, "too short"),   # embedded, gated out by stage 1
+        (20, t20),           # embedding-identical to 10, must SURVIVE
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    w = np.zeros(64, dtype=np.float32); w[0] = 1.0
+    u = np.zeros(64, dtype=np.float32); u[1] = 1.0
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 10, 20], pa.int64()),
+        "embedding": pa.array([w.tolist(), u.tolist(), u.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = {r["doc_id"] for r in dedup.training_corpus_filter(
+        spark, str(tmp_path), with_ppx=False).collect()}
+    assert got == {0, 20}
+    _compare_with_embeddings(
+        spark, str(tmp_path),
+        dedup.training_corpus_filter(spark, str(tmp_path), with_ppx=False),
+        dedup.training_corpus_filter_sql(with_ppx=False),
+    )
 
 
 def test_corpus_filter_semdedup_unembedded_docs_pass(spark, tmp_path):

@@ -7,7 +7,6 @@ of the keep rule on real data.
 
 from __future__ import annotations
 
-import duckdb
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -58,28 +57,10 @@ def test_semdedup_hand_computed(spark, tiny_dir):
     }
 
 
-def _oracle(sql: str):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/embeddings.parquet')"
-    )
-    res = con.execute(sql)
-    cols = [d[0].lower() for d in res.description]
-    return cols, res.fetchall()
-
-
 def _assert_parity(spark_df, sql):
-    scols = [c.lower() for c in spark_df.columns]
-    srows = [tuple(r) for r in spark_df.collect()]
-    dcols, drows = _oracle(sql)
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    so = sorted(range(len(scols)), key=lambda i: scols[i])
-    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    a = sorted(tuple(r[i] for i in so) for r in srows)
-    b = sorted(tuple(r[i] for i in do) for r in drows)
-    assert a == b, f"first diff: {next(((x, y) for x, y in zip(a, b) if x != y), None)}"
-    assert a
+    from parity import assert_parity
+
+    assert_parity(spark_df, sql, SF_DIR, tables=("embeddings",))
 
 
 def test_semdedup_duckdb_parity(spark):
