@@ -983,16 +983,26 @@ def token_budget_sample(spark: SparkSession, sf_dir: str,
         .withColumn("h", h)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= F.col("bucket_budget"))
+        # packing origin (round 5b): where this doc lands in the packed
+        # fixed-length-sequence space of its (lang, bucket) shard —
+        # pure arithmetic on the cumulative sum, zero extra plan nodes
+        .withColumn("seq_id", F.expr(
+            f"cast((cum_tokens - n_tokens) div {SEQ_LEN} as long)"))
+        .withColumn("seq_start", F.expr(
+            f"cast((cum_tokens - n_tokens) % {SEQ_LEN} as long)"))
         .select("doc_id", "lang", "bucket", "n_tokens", "cum_tokens",
-                "bucket_budget")
+                "bucket_budget", "seq_id", "seq_start")
     )
 
 
 def token_budget_sample_sql(budget_tokens: int = 12_000, n_buckets: int = 8,
                             weights: dict[str, int] | None = MIX_WEIGHTS) -> str:
     case = _bucket_budget_case(weights, budget_tokens, n_buckets)
+    _sl = SEQ_LEN
     return f"""
-        SELECT doc_id, lang, bucket, n_tokens, cum_tokens, bucket_budget
+        SELECT doc_id, lang, bucket, n_tokens, cum_tokens, bucket_budget,
+               CAST((cum_tokens - n_tokens) // {_sl} AS BIGINT) AS seq_id,
+               CAST((cum_tokens - n_tokens) % {_sl} AS BIGINT) AS seq_start
         FROM (
           SELECT doc_id, lang, bucket, n_tokens, bucket_budget,
                  CAST(SUM(n_tokens) OVER (
@@ -1007,6 +1017,90 @@ def token_budget_sample_sql(budget_tokens: int = 12_000, n_buckets: int = 8,
                 FROM documents)
           WHERE bucket_budget IS NOT NULL)
         WHERE cum_tokens <= bucket_budget
+    """
+
+
+SEQ_LEN = 512  # fixed training-sequence length (tokens) for packing
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   seq_len: int = SEQ_LEN,
+                   n_buckets: int = 8,
+                   weights: dict[str, int] | None = MIX_WEIGHTS,
+                   budget_tokens: int = 12_000) -> DataFrame:
+    """Sequence packing — the LLM-pretraining primitive downstream of the
+    mix: concatenate the selected documents (deterministic hash order,
+    same LCG order as ``token_budget_sample``) into one token stream per
+    (lang, bucket) and chunk it into fixed ``seq_len`` sequences;
+    documents CROSS sequence boundaries (standard concat-then-chunk
+    packing), so a document spanning several sequences emits one row per
+    overlapped sequence with its token span.
+
+    Output: (lang, bucket, doc_id, seq_id, start_in_seq, n_toks) — one
+    row per document × overlapped sequence, all integer arithmetic:
+    a document occupying stream positions [cum−n, cum) overlaps
+    sequences floor((cum−n)/L) … floor((cum−1)/L); the explode is over
+    that per-document range (bounded by doc_len/L + 1, never corpus-
+    sized).  Skew shape is ``token_budget_sample``'s: the cumulative
+    window partitions by (lang, hash bucket) — no single-reducer
+    language — and sequence ids are local to (lang, bucket), so packing
+    shards scale horizontally exactly like the mix itself."""
+    sel = token_budget_sample(spark, sf_dir, budget_tokens=budget_tokens,
+                              n_buckets=n_buckets, weights=weights)
+    return (
+        sel.where(F.col("n_tokens") > 0)
+        .withColumn("first_seq", F.expr(f"(cum_tokens - n_tokens) div {seq_len}"))
+        .withColumn("last_seq", F.expr(f"(cum_tokens - 1) div {seq_len}"))
+        .select(
+            "lang", "bucket", "doc_id", "n_tokens", "cum_tokens",
+            F.explode(
+                F.expr("sequence(first_seq, last_seq)")
+            ).alias("seq_id"),
+        )
+        .select(
+            "lang", "bucket", "doc_id",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            # this doc's span inside THIS sequence
+            F.expr(
+                f"cast(greatest(cum_tokens - n_tokens, seq_id * {seq_len})"
+                f" - seq_id * {seq_len} as long)"
+            ).alias("start_in_seq"),
+            F.expr(
+                f"cast(least(cum_tokens, (seq_id + 1) * {seq_len})"
+                f" - greatest(cum_tokens - n_tokens, seq_id * {seq_len})"
+                " as long)"
+            ).alias("n_toks"),
+        )
+    )
+
+
+def pack_sequences_sql(seq_len: int = SEQ_LEN, n_buckets: int = 8,
+                       weights: dict[str, int] | None = MIX_WEIGHTS,
+                       budget_tokens: int = 12_000) -> str:
+    sel = token_budget_sample_sql(budget_tokens=budget_tokens,
+                                  n_buckets=n_buckets, weights=weights)
+    return f"""
+        WITH sel AS ({sel}),
+        spans AS (
+          SELECT lang, bucket, doc_id, n_tokens, cum_tokens,
+                 (cum_tokens - n_tokens) // {seq_len} AS first_seq,
+                 (cum_tokens - 1) // {seq_len} AS last_seq
+          FROM sel WHERE n_tokens > 0),
+        -- generate_series with column bounds is only usable as a
+        -- list expression (the table function rejects lateral column
+        -- parameters), so explode via unnest in the SELECT list
+        exploded AS (
+          SELECT lang, bucket, doc_id, n_tokens, cum_tokens,
+                 unnest(generate_series(first_seq, last_seq)) AS seq_id
+          FROM spans)
+        SELECT lang, bucket, doc_id,
+               CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(greatest(cum_tokens - n_tokens, seq_id * {seq_len})
+                    - seq_id * {seq_len} AS BIGINT) AS start_in_seq,
+               CAST(least(cum_tokens, (seq_id + 1) * {seq_len})
+                    - greatest(cum_tokens - n_tokens, seq_id * {seq_len})
+                 AS BIGINT) AS n_toks
+        FROM exploded
     """
 
 

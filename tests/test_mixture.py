@@ -111,3 +111,62 @@ def test_feasible_budget_missing_language_is_zero(spark):
     assert relational.feasible_mixture_budget(
         spark, SF01, weights={"en": 1, "xx": 1}
     ) == 0
+
+
+def test_pack_sequences_parity(spark):
+    from parity import assert_parity
+
+    assert_parity(relational.pack_sequences(spark, SF_DIR),
+                  relational.pack_sequences_sql(), SF_DIR)
+    assert_parity(relational.pack_sequences(spark, SF01, seq_len=64),
+                  relational.pack_sequences_sql(seq_len=64), SF01)
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk semantics: per doc the spans reassemble the
+    whole document; per (lang, bucket) shard every sequence except the
+    last is exactly full; spans within a sequence tile without overlap;
+    documents genuinely cross sequence boundaries at seq_len=64."""
+    sl = 64
+    rows = relational.pack_sequences(spark, SF01, seq_len=sl).collect()
+    sel = {r["doc_id"]: r for r in
+           relational.token_budget_sample(spark, SF01).collect()}
+
+    by_doc: dict[int, int] = {}
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["n_toks"]
+        by_seq.setdefault((r["lang"], r["bucket"], r["seq_id"]), []).append(r)
+    assert by_doc == {d: s["n_tokens"] for d, s in sel.items()
+                      if s["n_tokens"] > 0}
+
+    shard_max = {}
+    for (lang, bucket, seq), srs in by_seq.items():
+        spans = sorted((r["start_in_seq"], r["n_toks"]) for r in srs)
+        pos = spans[0][0]
+        for st, n in spans:
+            assert st == pos  # no gap, no overlap
+            pos = st + n
+        assert pos <= sl
+        key = (lang, bucket)
+        shard_max[key] = max(shard_max.get(key, -1), seq)
+    for (lang, bucket, seq), srs in by_seq.items():
+        filled = sum(r["n_toks"] for r in srs)
+        first = min(r["start_in_seq"] for r in srs)
+        if seq < shard_max[(lang, bucket)]:
+            assert first + filled == sl, (lang, bucket, seq)  # full
+    assert sum(1 for d in by_doc
+               if len([r for r in rows if r["doc_id"] == d]) > 1) > 0
+
+
+def test_fold_packing_origin_matches_pack_sequences(spark):
+    """token_budget_sample's (seq_id, seq_start) columns are exactly the
+    first span pack_sequences emits for that document."""
+    first = {}
+    for r in relational.pack_sequences(spark, SF01).collect():
+        cur = first.get(r["doc_id"])
+        if cur is None or r["seq_id"] < cur[0]:
+            first[r["doc_id"]] = (r["seq_id"], r["start_in_seq"])
+    for s in relational.token_budget_sample(spark, SF01).collect():
+        if s["n_tokens"] > 0:
+            assert (s["seq_id"], s["seq_start"]) == first[s["doc_id"]], s
