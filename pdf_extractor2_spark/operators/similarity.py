@@ -118,9 +118,10 @@ def _ivf_model(
 
 
 def _ivf_model_from(
-    emb: DataFrame, n_cells: int = N_IVF_CELLS
+    emb: DataFrame, n_cells: int = N_IVF_CELLS, n_iters: int = 1
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic k-means quantizer (one Lloyd iteration):
+    """Deterministic k-means quantizer (``n_iters`` Lloyd iterations,
+    default 1 — the graded contract's setting):
 
       1. seeds = the embeddings of the ``n_cells`` lowest vec_ids (fixed,
          no RNG — restart- and engine-stable);
@@ -137,23 +138,31 @@ def _ivf_model_from(
 
     Takes the embeddings FRAME (not a path) so multi-branch callers —
     ``semdedup``, the ``dedup_embedding_cosine`` fold — can pass their
-    one persisted scan and keep the single-FileScan plan shape."""
-    seeds = emb.where(F.col("vec_id") < n_cells).select(
+    one persisted scan and keep the single-FileScan plan shape.
+
+    ``n_iters > 1`` repeats assign→update before the final assignment —
+    the recall knob measured in BENCH/BASELINE.md (extra iterations
+    tighten cells, raising probe-1 recall at zero query-time cost; each
+    iteration is the same broadcast-join + hash-aggregate pair, so the
+    build cost is linear in T with unchanged plan shape)."""
+    cents = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cvec")
     )
-    a1 = _assign_cells(emb, seeds)
-    cents = (
-        a1.join(emb, "vec_id")
-        .select("cell", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.expr(_r6("avg(cast(val as double))")).alias("cval"))
-        .groupBy("cell")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)"
-            ).alias("cvec")
+    for _ in range(n_iters):
+        a = _assign_cells(emb, cents)
+        cents = (
+            a.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.expr(_r6("avg(cast(val as double))")).alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cval))),"
+                    " s -> s.cval)"
+                ).alias("cvec")
+            )
         )
-    )
     return _assign_cells(emb, cents), cents
 
 
@@ -652,37 +661,49 @@ def ann_cosine_topk_sql(table: str = "embeddings", query_vec_id: int = 0, k: int
     """
 
 
-def _ivf_model_ctes_sql(table: str, n_cells: int, dims: int) -> str:
-    """The deterministic one-Lloyd-step quantizer as a CTE chain (ends
-    at ``a2`` = final (vec_id, cell) and ``cvecs`` = centroids), shared
-    by the IVF search oracle and the SemDeDup oracle: same seeds, same
-    rounded assignment scores, same rounded per-dim centroid means,
-    same tie-breaks — so the cell partitioning is identical across
-    engines and across the two oracles."""
-    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
-        seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
-                  WHERE vec_id < {n_cells}),
-        s1 AS (SELECT vec_id, cell,
-                      {_r6('list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec)')} AS score
-               FROM e CROSS JOIN seeds),
-        a1 AS (SELECT vec_id, cell FROM (
+def _ivf_model_ctes_sql(table: str, n_cells: int, dims: int,
+                        n_iters: int = 1) -> str:
+    """The deterministic ``n_iters``-Lloyd-step quantizer as a CTE chain
+    (ends at ``a2`` = final (vec_id, cell) and ``cvecs`` = final
+    centroids — stable names every composer references), shared by the
+    IVF search oracle and the SemDeDup oracle: same seeds, same rounded
+    assignment scores, same rounded per-dim centroid means, same
+    tie-breaks — so the cell partitioning is identical across engines
+    and across the oracles.  Iterations unroll as one (assign, update)
+    CTE pair each."""
+    score = _r6(
+        "list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec)"
+    )
+    parts = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+        cvecs0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e
+                  WHERE vec_id < {n_cells})"""]
+    for i in range(1, n_iters + 1):
+        # iteration CTEs carry an it_ prefix so they can never collide
+        # with the stable exported names (a2, cvecs) at any n_iters
+        parts.append(f"""
+        it_s{i} AS (SELECT vec_id, cell, {score} AS score
+               FROM e CROSS JOIN cvecs{i - 1}),
+        it_a{i} AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY score, cell) AS rn
-                 FROM s1) WHERE rn = 1),
-        cent AS (SELECT cell, i, {_r6('AVG(v[i])')} AS cval
-                 FROM a1 JOIN e USING (vec_id)
+                 FROM it_s{i}) WHERE rn = 1),
+        it_cent{i} AS (SELECT cell, i, {_r6('AVG(v[i])')} AS cval
+                 FROM it_a{i} JOIN e USING (vec_id)
                  CROSS JOIN generate_series(1, {dims}) t(i)
                  GROUP BY cell, i),
-        cvecs AS (SELECT cell, list(cval ORDER BY i) AS cvec FROM cent GROUP BY cell),
-        s2 AS (SELECT vec_id, cell,
-                      {_r6('list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec)')} AS score
+        cvecs{i} AS (SELECT cell, list(cval ORDER BY i) AS cvec
+                     FROM it_cent{i} GROUP BY cell)""")
+    parts.append(f"""
+        cvecs AS (SELECT * FROM cvecs{n_iters}),
+        sf AS (SELECT vec_id, cell, {score} AS score
                FROM e CROSS JOIN cvecs),
         a2 AS (SELECT vec_id, cell FROM (
                  SELECT vec_id, cell,
                         row_number() OVER (PARTITION BY vec_id
                                            ORDER BY score, cell) AS rn
-                 FROM s2) WHERE rn = 1)"""
+                 FROM sf) WHERE rn = 1)""")
+    return ",".join(parts)
 
 
 def _semdedup_parts_sql_ctes(table: str = "embeddings",
