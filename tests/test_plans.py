@@ -41,17 +41,18 @@ def test_extraction_scan_is_column_pruned(spark, sf_dir):
 
 
 def test_extraction_has_single_exchange(spark, sf_dir):
-    """Exactly one shuffle (the deterministic bucket repartition); with
-    repartition=False the pipeline must be shuffle-free."""
+    """DEFAULT is shuffle-free (round 6: the html payload is never
+    shuffled — guide §2.4); the opt-in bucket repartition (resume
+    lineage) is exactly one exchange."""
     from pdf_extractor2_spark.plans.extract_job import run_extract
 
     pages = spark.read.parquet(sf_dir)
     import re
 
-    plan = _plan(run_extract(pages, num_buckets=4))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
-    plan_free = _plan(run_extract(pages, num_buckets=4, repartition=False))
+    plan_free = _plan(run_extract(pages, num_buckets=4))
     assert len(re.findall(r"\(\d+\) Exchange", plan_free)) == 0, plan_free
+    plan = _plan(run_extract(pages, num_buckets=4, repartition=True))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
 def test_dimension_joins_are_broadcast(spark):
