@@ -454,7 +454,11 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     propagation raises at max_iters=8 while pointer jumping converges,
     with identical labels
     to the default's fixpoint on real data."""
-    pairs = jaccard_pairs(spark, sf_dir, threshold)
+    # pairs persisted before the two-leg union: the pair-scoring subtree
+    # (inter aggregate + two size joins above the scoped jaccard caches)
+    # would otherwise execute once per union leg (round-6; the tiny pair
+    # table is freed as soon as the edges cache materializes)
+    pairs = jaccard_pairs(spark, sf_dir, threshold).persist()
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
@@ -473,6 +477,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     # were that sweep's checkpoint (found by round-4 review: freeing the
     # edges cache forced a full shingle-pipeline recompute per sweep)
     labels.count()
+    # edges + labels are now cached; the pair table has no further reader
+    pairs.unpersist()
 
     if reliable_checkpoint:
         sc = spark.sparkContext
@@ -501,9 +507,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                 edges.join(labels, edges.d == labels.doc_id)
                 .groupBy("s").agg(F.min("label").alias("nbr_min"))
             )
+            # `prev` (the incoming label) rides along so the sweep's
+            # changed-row count is a flag scan over the checkpointed
+            # frame instead of a new-vs-old join — one fewer shuffle
+            # join per sweep, identical count (the left join preserves
+            # the label-table row set; round-6 optimization)
             prop = labels.join(nbr, labels.doc_id == nbr.s, "left").select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                labels["label"].alias("prev"),
             )
             if pj:
                 # shortcut: label(v) ← label(label(v)); the propagated
@@ -515,7 +527,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                 ).select(
                     F.col("a.doc_id").alias("doc_id"),
                     F.coalesce(F.col("b.label"), F.col("a.label")).alias("label"),
+                    F.col("a.prev").alias("prev"),
                 )
+            prop = prop.select(
+                "doc_id", "label",
+                (F.col("label") != F.col("prev")).alias("chg"),
+            )
             # Lineage discipline: each sweep's plan references the
             # previous sweep's — and pointer jumping references it
             # TWICE — so without periodic truncation the logical tree
@@ -541,12 +558,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
                 new_labels, new_ids = _tracked_local_checkpoint(spark, prop)
                 free_new = lambda ids=new_ids: _free_checkpoint(spark, ids)
             free_pending = free_new
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.where("chg").count()
             if inter is not None:
                 inter.unpersist()
                 inter = None
@@ -590,6 +602,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, threshold: float = 0.5,
             return out
         return final.localCheckpoint(eager=True)
     finally:
+        pairs.unpersist()  # no-op when already freed after labels.count()
         edges.unpersist()
         if inter is not None:  # a sweep aborted between persist and release
             inter.unpersist()
@@ -773,7 +786,10 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         (F.length("text") >= 200) & (F.expr("size(toks)") >= 40)
     )
 
-    exact_kept = (
+    # scoped-persisted (round 6): exact_kept feeds BOTH the survivors
+    # semi-join and the final kept projection — without the cache the
+    # full-corpus digest aggregate runs once per reference
+    exact_kept = _scoped_persist(
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("digest"))
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_exact_dups"))
         .select("doc_id", "n_exact_dups")
