@@ -818,10 +818,17 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
     )
     near_dropped = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
-    kept = exact_kept.join(near_dropped, "doc_id", "left_anti").select(
+    kept0 = exact_kept.join(near_dropped, "doc_id", "left_anti").select(
         "doc_id", "n_exact_dups"
     )
+    if with_semdedup:
+        # the near-dedup survivor set is one of the overlapped legs
+        # below AND feeds the band join — persist it so the band join
+        # reads the cache instead of replaying the shingle pipeline
+        kept0 = _scoped_persist(kept0)
+    kept = kept0
     out_cols = ["doc_id", "n_exact_dups"]
+    scores = None
     if with_ppx:
         # stage 4: perplexity band off the SAME persisted base (train
         # slice = full corpus doc_id % MOD; quartiles over the FULL
@@ -832,7 +839,7 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         scores = _scoped_persist(
             _ppx_scores(base.select("doc_id", "toks")).select("doc_id", "log_ppx")
         )
-        kept = kept.join(_ppx_banded(scores), "doc_id").where(
+        kept = kept0.join(_ppx_banded(scores), "doc_id").where(
             F.col("ppx_band") != "tail"
         )
         out_cols += ["log_ppx", "ppx_band"]
@@ -845,12 +852,37 @@ def training_corpus_filter(spark: SparkSession, sf_dir: str,
         # kept is persisted AND pre-materialized: the drop set is built
         # in a parallel broadcast thread, and a cold kept cache there
         # would re-run stages 1-4 twice.
+        from concurrent.futures import ThreadPoolExecutor
+
         from .similarity import _emb, _semdedup_parts_from
 
         emb = _scoped_persist(_emb(spark, sf_dir))
         cells, prune_pairs = _semdedup_parts_from(emb)
-        kept = _scoped_persist(kept)
-        kept.count()
+        if kept is not kept0:  # with_ppx=False leaves kept == kept0,
+            kept = _scoped_persist(kept)  # already persisted above
+        # round 6 (guide §2.6 "overlap independent jobs"): the three
+        # expensive legs — the shingle near-dedup pipeline (kept0), the
+        # bigram-LM perplexity scores, and the SemDeDup quantizer +
+        # within-cell prune pairs — share only the persisted base scan,
+        # so after materializing base once they run as CONCURRENT jobs:
+        # each leg's sequential shuffle/broadcast chain leaves most
+        # cores idle and the other legs back-fill them.  Every leg is
+        # persisted first, so the final plan reads caches only; the
+        # eager materialization keeps the round-5 guarantee that the
+        # drop-set broadcast thread can never trigger a cold
+        # stages-1-4 recompute.
+        prune_pairs = _scoped_persist(prune_pairs)
+        base.count()  # the shared scan/tokenize: materialize BEFORE the
+        #               legs race it (a cold cache computed by two
+        #               concurrent jobs is built twice, block by block)
+        legs = [kept0.count, prune_pairs.count]
+        if scores is not None:
+            legs.append(scores.count)
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            for f in [pool.submit(leg) for leg in legs]:
+                f.result()
+        kept.count()  # band join over the now-warm caches (cheap); the
+        #               two downstream references then both read cache
         drop = (
             prune_pairs.join(
                 kept.select(F.col("doc_id").alias("vec_a")), "vec_a",

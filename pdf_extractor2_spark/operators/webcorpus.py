@@ -598,11 +598,16 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str,
         .distinct()
     )
     n_nodes = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
-    r = (
-        nodes.crossJoin(F.broadcast(n_nodes))
-        .select("h", F.expr(f"{PR_SCALE} div n_nodes").alias("rank"),
-                "n_nodes")
-    )
+    # the (h, n_nodes) node table comes off the PERSISTED nodes frame,
+    # NOT off the previous iteration's r: referencing r twice per
+    # iteration (contrib + node set) doubled the logical tree per
+    # iteration — 2^T subtree copies that Catalyst eagerly re-analyzes
+    # on every Dataset call (measured ~1.2s of driver-side construction
+    # at T=5, and the reason the printed plan was 127 KB).  Joining
+    # contrib back to the cached node table keeps the tree linear in T;
+    # ranks are bit-identical (same per-row arithmetic, same node set).
+    nb = nodes.crossJoin(F.broadcast(n_nodes))
+    r = nb.select("h", F.expr(f"{PR_SCALE} div n_nodes").alias("rank"))
     for _ in range(n_iters):
         contrib = (
             ew.join(r.select(F.col("h").alias("src"), "rank"), "src")
@@ -610,8 +615,7 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str,
             .groupBy("dst").agg(F.sum("c").alias("in_rank"))
         )
         r = (
-            r.select("h", "n_nodes")
-            .join(contrib.withColumnRenamed("dst", "h"), "h", "left")
+            nb.join(contrib.withColumnRenamed("dst", "h"), "h", "left")
             .select(
                 "h",
                 F.expr(
@@ -619,7 +623,6 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str,
                     f" + {PR_ALPHA_NUM} * coalesce(in_rank, 0)"
                     f" div {PR_ALPHA_DEN}"
                 ).alias("rank"),
-                "n_nodes",
             )
         )
     return r.select(
