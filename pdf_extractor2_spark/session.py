@@ -45,6 +45,31 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round-6 tuning (guide §3.1/§7.2), A/B'd per query at sf0.1 and
+        # scale-reasoned — none of these change results, only physical
+        # plans:
+        # * cached-plan AQE: every _scoped_persist subtree (shingle
+        #   pipelines, signature tables, ppx legs) is planned WITHOUT
+        #   adaptive execution unless this flag is on — coalescing and
+        #   skew handling then apply inside cache materialization too
+        #   (training_corpus_filter measured 8.6 -> 6.1s at sf0.1; the
+        #   CLAUDE.md "persisting semdedup measured 3x slower" trap was
+        #   exactly this missing flag)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # * shuffled-hash over sort-merge for equi-joins whose build
+        #   side fits a per-partition hash map: skips two sorts per
+        #   join (LSH band/self joins, posting-list joins); the AQE
+        #   rewrite threshold bounds the build partition at 64 MB, well
+        #   inside executor memory at any corpus scale (bigger
+        #   partitions keep sort-merge and its graceful spill)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "67108864",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
