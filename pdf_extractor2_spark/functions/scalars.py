@@ -169,10 +169,22 @@ def clean_text(text: str | None) -> str:
 
 
 def clean_multiline(text: str | None) -> str:
-    """Normalize intra-line whitespace, keep single newlines (scraper.py:62-69)."""
+    """Normalize intra-line whitespace, keep single newlines (scraper.py:62-69).
+
+    Memoized like the other pure str kernels (same lru_cache precedent
+    as ``_is_valid_person_name_core``): profiled at 110k calls / 4k
+    docs with a 79% repeated-input rate — the classifier, name
+    inference and role extraction all re-normalize the same cell/line
+    strings within a document.  Returns an immutable str, so sharing
+    the cached object is safe."""
     if text is None or not text:
         return ""
-    out = str(text).strip()
+    return _clean_multiline_core(str(text))
+
+
+@lru_cache(maxsize=65536)
+def _clean_multiline_core(text: str) -> str:
+    out = text.strip()
     out = _SPACE_TAB_RUN.sub(" ", out)
     return _BLANK_LINE.sub("\n", out)
 
