@@ -224,6 +224,7 @@ class _Extractor(HTMLParser):
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9\-]*")
 _RAW_TEXT_TAGS = ("script", "style", "template", "noscript")
+_NO_ATTRS: list = []  # shared empty attr list for attribute-free tags
 
 
 def _scan(html: str, h: "_Extractor") -> None:
@@ -255,11 +256,14 @@ def _scan(html: str, h: "_Extractor") -> None:
             chunk = html[i:lt]
             if not chunk.isspace():
                 h.handle_data(unescape(chunk) if "&" in chunk else chunk)
-        if html.startswith("<!--", lt):
-            end = find("-->", lt + 4)
-            i = end + 3 if end >= 0 else n
-            continue
+        # one char test dispatches comments/doctypes/PIs; the
+        # startswith("<!--") only runs on the rare '!' branch (round 6:
+        # this check used to run on EVERY tag)
         if lt + 1 < n and html[lt + 1] in "!?":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = end + 3 if end >= 0 else n
+                continue
             gt = find(">", lt)
             i = gt + 1 if gt >= 0 else n
             continue
@@ -278,7 +282,7 @@ def _scan(html: str, h: "_Extractor") -> None:
         if closing:
             h.handle_endtag(name)
         else:
-            attrs = []
+            attrs = _NO_ATTRS  # shared: the handler never mutates attrs
             # m.end() == len(inner) ⇔ the tag carries no attribute text
             # at all — skip the three role-substring scans entirely
             if m.end() < len(inner) and (
