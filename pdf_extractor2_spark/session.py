@@ -22,7 +22,14 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_ARROW_BATCH_ROWS = 512
+# round 6: 512 → 2048 rows — A/B'd on the 200k-doc extraction bench
+# (13.3 / 11.7 / 14.4s at 512 / 2048 / 8192): larger batches amortize
+# the per-batch Python dispatch, 8192 kills transfer/compute
+# pipelining (one batch per scan split).  Worst-case batch memory is
+# bounded in BYTES by arrow.maxBytesPerBatch below, so a corpus of
+# MB-sized payloads can no longer ride the row cap into a huge batch
+# (the reason 512 was chosen originally).
+DEFAULT_ARROW_BATCH_ROWS = 2048
 
 
 def get_spark(
@@ -75,6 +82,11 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
         )
+        # the BYTE bound (Spark 4) is the real memory guard for
+        # binary-heavy payload columns: 16 MB per batch regardless of
+        # row count (default 64 MB; html payloads are KB-sized so the
+        # row cap binds on normal corpora)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         # the extraction kernel costs ~1 ms per ~4 KB document — CPU per
         # byte is ~10^4x a normal scan, so input splits must be small or
         # a shuffle-free scan→mapInPandas plan starves the executors
